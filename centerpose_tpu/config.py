@@ -1,0 +1,189 @@
+"""Typed configuration for centerpose_tpu.
+
+Replaces the reference's argparse god-object (`src/lib/opts.py:14-502`) with a frozen
+dataclass. `heads` is derived exactly like the reference's
+`opts.update_dataset_info_and_set_heads` (`src/lib/opts.py:378-429`): the head dict is
+the single source of truth for the network's output structure.
+
+Presets mirror the five BASELINE configs plus the two training entry points
+(`src/main_CenterPose.py:126-189`, `src/main_CenterPoseTrack.py:118-242`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Mapping, Optional, Tuple
+
+# Objectron categories supported by the reference (README.md:61).
+CATEGORIES = (
+    "bike", "book", "bottle", "camera", "cereal_box",
+    "chair", "cup", "laptop", "shoe",
+)
+
+# Categories trained with N-fold rotational symmetry about the object's y axis
+# (`src/main_CenterPose.py:150-156`: bottle/cup use --num_symmetry 12).
+SYMMETRIC_CATEGORIES = ("bottle", "cup")
+
+# Per-category std balance coefficient used when converting predicted log-variance
+# to std at decode time (`src/lib/opts.py` --balance_coefficient defaults; decode.py:309).
+DEFAULT_BALANCE_COEFFICIENT: Mapping[str, float] = {c: 1.0 for c in CATEGORIES}
+
+# ImageNet-style input normalization (`src/lib/opts.py:438-440`).
+DATA_MEAN = (0.408, 0.447, 0.470)
+DATA_STD = (0.289, 0.274, 0.278)
+
+# Horizontal-flip keypoint index pairs, 1-indexed over the 9-point cuboid
+# (`src/lib/opts.py:442`).
+FLIP_IDX = ((1, 5), (3, 7), (2, 6), (4, 8))
+
+NUM_JOINTS = 8  # cuboid corners; center is implicit
+
+
+@dataclasses.dataclass(frozen=True)
+class CenterPoseConfig:
+    # --- model -----------------------------------------------------------------
+    arch: str = "dlav1_34"            # dla_34 | dlav1_34 | dlav0_34 | res_18.. | hourglass
+    head_conv: int = 256
+    down_ratio: int = 4
+    input_h: int = 512
+    input_w: int = 512
+    num_classes: int = 1
+
+    # --- head toggles (mirrors opts.py:394-427) ---------------------------------
+    reg_offset: bool = True           # 'reg' head (2)
+    hm_hp: bool = True                # 'hm_hp' head (8)
+    reg_hp_offset: bool = True        # 'hp_offset' head (2)
+    obj_scale: bool = True            # 'scale' head (3)
+    obj_scale_uncertainty: bool = False
+    hps_uncertainty: bool = False
+    tracking: bool = False            # 'tracking' head (2)
+    tracking_hp: bool = False         # 'tracking_hp' head (16)
+    reg_bbox: bool = True             # 'wh' head (2)
+
+    # --- task ------------------------------------------------------------------
+    category: str = "shoe"
+    num_symmetry: int = 1             # 12 for bottle/cup training
+    mug: bool = False
+    tracking_task: bool = False       # CenterPoseTrack (pre_img/pre_hm/pre_hm_hp stems)
+
+    # --- decode / inference ------------------------------------------------------
+    K: int = 100                      # top-K centers (opts.py --K)
+    rep_mode: int = 1                 # keypoint representation mode (opts.py:211-220)
+    vis_thresh: float = 0.3
+    hm_hp_thresh: float = 0.1         # decode.py:117 `thresh`
+    nms: bool = True                  # soft-NMS in merge_outputs
+    balance_coefficient: float = 1.0  # per-category std scaling (decode.py:309)
+    max_dets: int = 16                # fixed-size post-NMS detection slots (TPU static shape)
+
+    # --- loss weights (opts.py train block defaults) -----------------------------
+    hm_weight: float = 1.0
+    wh_weight: float = 0.1
+    off_weight: float = 1.0
+    hp_weight: float = 1.0
+    hm_hp_weight: float = 1.0
+    obj_scale_weight: float = 1.0
+    tracking_weight: float = 1.0
+    tracking_hp_weight: float = 1.0
+    kl_scale_uncertainty: float = 0.01   # opt.KL_scale_uncertainty
+    kl_kps_uncertainty: float = 0.01     # opt.KL_kps_uncertainty
+
+    # --- training ----------------------------------------------------------------
+    lr: float = 1.25e-4
+    lr_step: Tuple[int, ...] = (90, 120)
+    num_epochs: int = 140
+    batch_size: int = 32
+    max_objs: int = 10                # reference dataset_combined.py max_objs
+    grad_clip_norm: float = 100.0     # base_trainer.py:94-97
+    seed: int = 317
+
+    # --- tracking-time filtering --------------------------------------------------
+    new_thresh: float = 0.3
+    track_thresh: float = 0.3
+    max_age: int = 4
+    kf_r_velocity: float = 1.0        # opts.py --R
+    use_kalman: bool = True
+    use_scale_pool: bool = True
+    max_tracks: int = 16              # fixed track slots (TPU static shape)
+
+    # --- system -------------------------------------------------------------------
+    compute_dtype: str = "float32"    # bfloat16 for production inference
+    param_dtype: str = "float32"
+
+    # ------------------------------------------------------------------------------
+    @property
+    def output_h(self) -> int:
+        return self.input_h // self.down_ratio
+
+    @property
+    def output_w(self) -> int:
+        return self.input_w // self.down_ratio
+
+    @property
+    def num_joints(self) -> int:
+        return NUM_JOINTS
+
+    @property
+    def use_conv_gru(self) -> bool:
+        # dlav1 == DLA + DCN + convGRU chained heads (pose_dla_dcn.py:583-590);
+        # the tracking model also uses convGRU with a 4th step.
+        return self.arch.startswith("dlav1") or (
+            self.arch.startswith("dla") and self.tracking_task
+        )
+
+    @property
+    def gru_steps(self) -> int:
+        return 4 if self.tracking_task else 3
+
+    @property
+    def heads(self) -> Dict[str, int]:
+        """Head-name → channel-count dict; mirrors opts.py:394-427 ordering."""
+        heads = {"hm": self.num_classes, "wh": 2, "hps": 2 * NUM_JOINTS}
+        if self.hps_uncertainty:
+            heads["hps_uncertainty"] = 2 * NUM_JOINTS
+        if self.reg_offset:
+            heads["reg"] = 2
+        if self.hm_hp:
+            heads["hm_hp"] = NUM_JOINTS
+        if self.reg_hp_offset:
+            heads["hp_offset"] = 2
+        if self.obj_scale:
+            heads["scale"] = 3
+            if self.obj_scale_uncertainty:
+                heads["scale_uncertainty"] = 3
+        if self.tracking:
+            heads["tracking"] = 2
+        if self.tracking_hp:
+            heads["tracking_hp"] = 2 * NUM_JOINTS
+        return heads
+
+    def replace(self, **kw) -> "CenterPoseConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def preset(name: str, **overrides) -> CenterPoseConfig:
+    """Named presets for the BASELINE configs.
+
+    - 'centerpose':       image model, dlav1_34 + convGRU (main_CenterPose.py defaults)
+    - 'centerpose_dla':   plain dla_34 + DCN, no convGRU (camera/chair released models)
+    - 'centerpose_track': CenterPoseTrack video model (main_CenterPoseTrack.py:118-242)
+    """
+    if name == "centerpose":
+        cfg = CenterPoseConfig(arch="dlav1_34")
+    elif name == "centerpose_dla":
+        cfg = CenterPoseConfig(arch="dla_34")
+    elif name == "centerpose_track":
+        cfg = CenterPoseConfig(
+            arch="dla_34",
+            tracking_task=True,
+            tracking=True,
+            tracking_hp=True,
+            hps_uncertainty=True,
+            obj_scale_uncertainty=True,
+            num_epochs=15,
+            lr_step=(6, 10),
+        )
+    else:
+        raise ValueError(f"unknown preset: {name!r}")
+    if overrides.get("category") in SYMMETRIC_CATEGORIES and "num_symmetry" not in overrides:
+        overrides["num_symmetry"] = 12
+    return cfg.replace(**overrides)

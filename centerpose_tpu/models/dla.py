@@ -1,0 +1,220 @@
+"""DLA-34 backbone and the DCN upsampling neck, NHWC flax modules.
+
+Parity targets: `DLA` (pose_dla_dcn.py:227-346: base 7x7 stem, two conv levels, four
+Tree stages with levels=[1,1,1,2,2,1] and channels=[16,32,64,128,256,512]), the
+CenterTrack-style early-fusion stems for pre_img/pre_hm/pre_hm_hp (:253-271,310-322),
+`DLAUp` iterative deep aggregation (:420-443), and `IDAUp` (:392-417: DCN proj →
+bilinear-init depthwise transposed-conv upsample → DCN node merge).
+
+`dlav0` variant (plain-conv IDA, dlav0.py:469-525) is provided by swapping the
+DeformConvBlock for a ConvBN projection via the `deformable` flag.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from centerpose_tpu.models.layers import (
+    BasicBlock,
+    ConvBN,
+    DeformConvBlock,
+    Tree,
+    UpsampleConv,
+)
+
+DLA34_LEVELS = (1, 1, 1, 2, 2, 1)
+DLA34_CHANNELS = (16, 32, 64, 128, 256, 512)
+
+
+class _Stem(nn.Module):
+    """7x7 stride-1 conv stem (pose_dla_dcn.py:234-238)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBN(self.features, 7, 1, relu=True, dtype=self.dtype, name="conv")(
+            x, train
+        )
+
+
+class _ConvLevel(nn.Module):
+    """`_make_conv_level`: n x (3x3 conv + BN + ReLU), stride on the first."""
+
+    features: int
+    convs: int = 1
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.convs):
+            x = ConvBN(
+                self.features,
+                3,
+                self.stride if i == 0 else 1,
+                relu=True,
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(x, train)
+        return x
+
+
+class DLA(nn.Module):
+    """DLA-34 trunk returning the 6 per-level feature maps (strides 1..32)."""
+
+    levels: Sequence[int] = DLA34_LEVELS
+    channels: Sequence[int] = DLA34_CHANNELS
+    with_pre_img: bool = False
+    with_pre_hm: bool = False
+    with_pre_hm_hp: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        pre_img=None,
+        pre_hm=None,
+        pre_hm_hp=None,
+        train: bool = False,
+    ) -> List[jnp.ndarray]:
+        ch = self.channels
+        x = _Stem(ch[0], dtype=self.dtype, name="base_layer")(x, train)
+        if self.with_pre_img and pre_img is not None:
+            x = x + _Stem(ch[0], dtype=self.dtype, name="pre_img_layer")(pre_img, train)
+        if self.with_pre_hm and pre_hm is not None:
+            x = x + _Stem(ch[0], dtype=self.dtype, name="pre_hm_layer")(pre_hm, train)
+        if self.with_pre_hm_hp and pre_hm_hp is not None:
+            x = x + _Stem(ch[0], dtype=self.dtype, name="pre_hm_hp_layer")(
+                pre_hm_hp, train
+            )
+
+        outs = []
+        x = _ConvLevel(ch[0], self.levels[0], 1, dtype=self.dtype, name="level0")(
+            x, train
+        )
+        outs.append(x)
+        x = _ConvLevel(ch[1], self.levels[1], 2, dtype=self.dtype, name="level1")(
+            x, train
+        )
+        outs.append(x)
+        x = Tree(
+            self.levels[2], ch[1], ch[2], 2, level_root=False, dtype=self.dtype,
+            name="level2",
+        )(x, train=train)
+        outs.append(x)
+        x = Tree(
+            self.levels[3], ch[2], ch[3], 2, level_root=True, dtype=self.dtype,
+            name="level3",
+        )(x, train=train)
+        outs.append(x)
+        x = Tree(
+            self.levels[4], ch[3], ch[4], 2, level_root=True, dtype=self.dtype,
+            name="level4",
+        )(x, train=train)
+        outs.append(x)
+        x = Tree(
+            self.levels[5], ch[4], ch[5], 2, level_root=True, dtype=self.dtype,
+            name="level5",
+        )(x, train=train)
+        outs.append(x)
+        return outs
+
+
+class _ProjUpNode(nn.Module):
+    """One IDAUp step for one level: proj -> upsample x f -> node(merge + skip)."""
+
+    features: int
+    factor: int
+    deformable: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        if self.deformable:
+            x = DeformConvBlock(self.features, dtype=self.dtype, name="proj")(x, train)
+        else:
+            x = ConvBN(self.features, 1, relu=True, dtype=self.dtype, name="proj")(
+                x, train
+            )
+        if self.factor > 1:
+            x = UpsampleConv(self.factor, dtype=self.dtype, name="up")(x)
+        if self.deformable:
+            x = DeformConvBlock(self.features, dtype=self.dtype, name="node")(
+                x + skip, train
+            )
+        else:
+            x = ConvBN(self.features, 3, relu=True, dtype=self.dtype, name="node")(
+                x + skip, train
+            )
+        return x
+
+
+class IDAUp(nn.Module):
+    """Iterative deep aggregation across a pyramid slice (pose_dla_dcn.py:392-417).
+
+    Given feature maps `layers[startp..endp)` ordered shallow→deep, each deeper map
+    is projected, upsampled to the shallower stride, and merged through a node DCN
+    with the running aggregate. Returns the new per-level list (functional — no
+    in-place list mutation like the reference).
+    """
+
+    features: int
+    up_factors: Sequence[int]  # per level, factor to reach the shallowest stride
+    deformable: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
+        out = [layers[0]]
+        for i in range(1, len(layers)):
+            merged = _ProjUpNode(
+                self.features,
+                int(self.up_factors[i]),
+                deformable=self.deformable,
+                dtype=self.dtype,
+                name=f"stage_{i}",
+            )(layers[i], out[i - 1], train)
+            out.append(merged)
+        return out
+
+
+class DLAUp(nn.Module):
+    """Full pyramid aggregation (pose_dla_dcn.py:420-443).
+
+    Repeatedly applies IDAUp to the deepest remaining slice, producing a list of
+    aggregated maps [stride 4, 8, 16, 32] for first_level=2.
+    """
+
+    channels: Sequence[int]  # channels[first_level:], e.g. (64, 128, 256, 512)
+    deformable: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
+        layers = list(layers)
+        channels = list(self.channels)
+        scales = np.array([2 ** i for i in range(len(channels))], dtype=int)
+        in_channels = list(channels)
+        out = [layers[-1]]
+        for i in range(len(channels) - 1):
+            j = -i - 2
+            ida = IDAUp(
+                channels[j],
+                (scales[j:] // scales[j]).tolist(),
+                deformable=self.deformable,
+                dtype=self.dtype,
+                name=f"ida_{i}",
+            )
+            new_tail = ida(layers[j:], train)
+            layers[j:] = new_tail
+            scales[j + 1 :] = scales[j]
+            in_channels[j + 1 :] = [channels[j]] * len(in_channels[j + 1 :])
+            out.insert(0, layers[-1])
+        return out

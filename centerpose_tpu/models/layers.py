@@ -1,0 +1,297 @@
+"""Shared NHWC building blocks (flax.linen).
+
+Parity targets: BasicBlock/Root/Tree from the reference DLA
+(`src/lib/models/networks/pose_dla_dcn.py:34-224`), the DCN+BN+ReLU `DeformConv`
+(`:377-389`), and the depthwise bilinear-initialized transposed-conv upsampler
+(`:365-374,402-405`). All convs are NHWC/HWIO (TPU-native layout); BatchNorm uses
+running statistics at inference like torch's eval mode.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from centerpose_tpu.ops.dcn import dcn_v2
+
+# torch BN(momentum=0.1) keeps 0.9 of the running stat per step.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm + optional ReLU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            axis_name="data" if train else None,
+            name="bn",
+        )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with a residual add (pose_dla_dcn.py:34-62)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        out = ConvBN(
+            self.features, 3, self.stride, self.dilation, relu=True,
+            dtype=self.dtype, name="conv1",
+        )(x, train)
+        out = ConvBN(
+            self.features, 3, 1, self.dilation, relu=False,
+            dtype=self.dtype, name="conv2",
+        )(out, train)
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    """1x1 aggregation over concatenated children (pose_dla_dcn.py:150-168)."""
+
+    features: int
+    residual: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, children: Sequence[jnp.ndarray], train: bool = False):
+        x = jnp.concatenate(children, axis=-1)
+        x = ConvBN(self.features, 1, relu=False, dtype=self.dtype, name="conv")(x, train)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    """Recursive deep-layer-aggregation tree (pose_dla_dcn.py:171-224)."""
+
+    levels: int
+    in_features: int
+    features: int
+    stride: int = 1
+    level_root: bool = False
+    root_dim: int = 0
+    root_residual: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=None, train: bool = False):
+        root_dim = self.root_dim or 2 * self.features
+        if self.level_root:
+            root_dim += self.in_features
+        children = [] if children is None else list(children)
+
+        bottom = (
+            nn.max_pool(x, (self.stride, self.stride), strides=(self.stride, self.stride))
+            if self.stride > 1
+            else x
+        )
+        if self.in_features != self.features:
+            residual = ConvBN(
+                self.features, 1, relu=False, dtype=self.dtype, name="project"
+            )(bottom, train)
+        else:
+            residual = bottom
+        if self.level_root:
+            children.append(bottom)
+
+        if self.levels == 1:
+            x1 = BasicBlock(
+                self.features, self.stride, dtype=self.dtype, name="tree1"
+            )(x, residual, train)
+            x2 = BasicBlock(self.features, 1, dtype=self.dtype, name="tree2")(
+                x1, None, train
+            )
+            out = Root(
+                self.features, self.root_residual, dtype=self.dtype, name="root"
+            )([x2, x1] + children, train)
+        else:
+            x1 = Tree(
+                self.levels - 1,
+                self.in_features,
+                self.features,
+                self.stride,
+                root_residual=self.root_residual,
+                dtype=self.dtype,
+                name="tree1",
+            )(x, None, None, train)
+            children.append(x1)
+            out = Tree(
+                self.levels - 1,
+                self.features,
+                self.features,
+                1,
+                root_dim=root_dim + self.features,
+                root_residual=self.root_residual,
+                dtype=self.dtype,
+                name="tree2",
+            )(x1, None, children, train)
+        return out
+
+
+class DeformConvBlock(nn.Module):
+    """DCNv2 (offset/mask from a zero-init conv) + BN + ReLU.
+
+    Parity: `DCN` (DCNv2/dcn_v2.py:97-128; offset conv zero-init at :114-116 so the
+    block starts as a plain 3x3 conv with 0.5 gates) wrapped by `DeformConv`
+    (pose_dla_dcn.py:377-389).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kk = 9
+        om = nn.Conv(
+            3 * kk,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_offset_mask",
+        )(x)
+        offset = om[..., : 2 * kk]
+        mask = jax.nn.sigmoid(om[..., 2 * kk :])
+
+        cin = x.shape[-1]
+        # Kaiming-uniform fan-in init, matching torch Conv2d's default reset.
+        bound = 1.0 / math.sqrt(cin * kk)
+
+        def w_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        weight = self.param("weight", w_init, (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        x = dcn_v2(x, offset, mask, weight.astype(self.dtype), bias.astype(self.dtype))
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            axis_name="data" if train else None,
+            name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+def _bilinear_upsample_kernel(factor: int) -> jnp.ndarray:
+    """(2f, 2f) bilinear interpolation kernel — the reference's `fill_up_weights`
+    (pose_dla_dcn.py:365-374)."""
+    size = factor * 2
+    f = math.ceil(size / 2)
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    r = jnp.arange(size, dtype=jnp.float32)
+    k1 = 1 - jnp.abs(r / f - c)
+    return k1[:, None] * k1[None, :]
+
+
+class UpsampleConv(nn.Module):
+    """Depthwise transposed conv x`factor`, bilinear-initialized but trainable.
+
+    Parity: nn.ConvTranspose2d(o, o, f*2, stride=f, padding=f//2, groups=o,
+    bias=False) + fill_up_weights (pose_dla_dcn.py:402-405). Implemented as an
+    lhs-dilated depthwise convolution (identical math, XLA-native).
+    """
+
+    factor: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        c = x.shape[-1]
+        size = 2 * f
+
+        def init(key, shape, dtype=jnp.float32):
+            k = _bilinear_upsample_kernel(f)
+            return jnp.broadcast_to(k[:, :, None, None], shape).astype(dtype)
+
+        # HWIO with I=1 (depthwise): [2f, 2f, 1, C]
+        kernel = self.param("kernel", init, (size, size, 1, c))
+
+        # Transposed conv == conv over f-dilated input with spatially flipped
+        # kernel and padding (K - 1 - pad) per side.
+        pad = size - 1 - f // 2
+        flipped = kernel[::-1, ::-1].astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            flipped,
+            window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)],
+            lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+
+class HeadConv(nn.Module):
+    """Prediction head: 3x3 conv -> [GroupNorm] -> ReLU -> 1x1 conv.
+
+    Parity: DLASeg head construction (pose_dla_dcn.py:491-521). Heatmap heads get a
+    -2.19 output-bias init (focal-loss prior); GroupNorm(32) is inserted when the
+    convGRU chain is active (GN.py:4-9).
+    """
+
+    classes: int
+    head_conv: int = 256
+    use_gn: bool = False
+    bias_init_value: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.head_conv, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+            name="conv1",
+        )(x)
+        if self.use_gn:
+            groups = 32 if self.head_conv % 32 == 0 else 16
+            x = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="gn")(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.classes,
+            (1, 1),
+            bias_init=nn.initializers.constant(self.bias_init_value),
+            dtype=self.dtype,
+            name="out",
+        )(x)
+        return x
