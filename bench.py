@@ -1,0 +1,70 @@
+"""Throughput benchmark: dlav1_34 forward+decode at 512x512 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is value / 500 — the BASELINE.json north-star of >=500 images/sec/chip
+(the PyTorch reference runs 15 fps end-to-end on a GTX 1080Ti, README.md:9).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+TARGET = 500.0  # images/sec/chip north star (BASELINE.md)
+
+
+def main():
+    from centerpose_tpu.config import preset
+    from centerpose_tpu.models import create_model
+    from centerpose_tpu.ops.decode import object_pose_decode
+
+    batch = 32
+    cfg = preset("centerpose", compute_dtype="bfloat16")
+    model = create_model(cfg)
+
+    rng = np.random.RandomState(0)
+    x_init = jnp.zeros((1, cfg.input_h, cfg.input_w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x_init)
+
+    @jax.jit
+    def step(variables, images):
+        outputs = model.apply(variables, images)
+        outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
+        return object_pose_decode(
+            outputs, k=cfg.K, rep_mode=cfg.rep_mode, inference=True,
+            fit_gaussian=False,
+        )
+
+    images = jnp.asarray(
+        rng.randn(batch, cfg.input_h, cfg.input_w, 3).astype(np.float32)
+    )
+
+    # Warmup / compile.
+    out = step(variables, images)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(variables, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_512x512_dlav1_34",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / TARGET, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

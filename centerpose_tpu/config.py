@@ -26,7 +26,7 @@ SYMMETRIC_CATEGORIES = ("bottle", "cup")
 
 # Per-category std balance coefficient used when converting predicted log-variance
 # to std at decode time (`src/lib/opts.py` --balance_coefficient defaults; decode.py:309).
-DEFAULT_BALANCE_COEFFICIENT: Mapping[str, float] = {c: 1.0 for c in CATEGORIES}
+DEFAULT_BALANCE_COEFFICIENT: Mapping[str, float] = {c: 2.0 for c in CATEGORIES}
 
 # ImageNet-style input normalization (`src/lib/opts.py:438-440`).
 DATA_MEAN = (0.408, 0.447, 0.470)
@@ -72,7 +72,7 @@ class CenterPoseConfig:
     vis_thresh: float = 0.3
     hm_hp_thresh: float = 0.1         # decode.py:117 `thresh`
     nms: bool = True                  # soft-NMS in merge_outputs
-    balance_coefficient: float = 1.0  # per-category std scaling (decode.py:309)
+    balance_coefficient: float = 2.0  # per-category std scaling (opts.py:239-241)
     max_dets: int = 16                # fixed-size post-NMS detection slots (TPU static shape)
 
     # --- loss weights (opts.py train block defaults) -----------------------------
@@ -99,10 +99,13 @@ class CenterPoseConfig:
     # --- tracking-time filtering --------------------------------------------------
     new_thresh: float = 0.3
     track_thresh: float = 0.3
-    max_age: int = 4
-    kf_r_velocity: float = 1.0        # opts.py --R
+    max_age: int = 5                  # opts.py:300
+    kf_r_velocity: float = 20.0       # opts.py:246 --R
     use_kalman: bool = True
     use_scale_pool: bool = True
+    use_hungarian: bool = False
+    conf_border: Tuple[float, float] = (3.0, 9.0)  # opts.py:242-244
+    refined_kalman: bool = False      # CenterPose + KF baseline (tracker_baseline.py)
     max_tracks: int = 16              # fixed track slots (TPU static shape)
 
     # --- system -------------------------------------------------------------------

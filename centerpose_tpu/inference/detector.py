@@ -1,0 +1,375 @@
+"""End-to-end CenterPose detector pipeline.
+
+Parity target: `BaseDetector.run` orchestration (src/lib/detectors/base_detector.py:
+390-772) + `ObjectPoseDetector.{process,post_process,merge_outputs}`
+(src/lib/detectors/object_pose.py:126-197) + `pnp_shell`
+(src/lib/utils/pnp/cuboid_pnp_shell.py:11-93).
+
+TPU-first structure:
+  stage `pre`   host: affine resize to the fixed input grid, normalize (numpy).
+  stage `net`+`dec`  ONE jitted XLA program: network forward + sigmoid + fused decode
+                (the reference crosses device→host inside decode; we don't).
+  stage `post`  host: map coords back to image space (tiny, K×2 points).
+  stage `merge` host: threshold + soft-NMS over <K boxes.
+  stage `pnp`   device: batched DLT+LM PnP over all surviving boxes at once.
+  stage `track` host/device: Kalman + association (centerpose_tpu.tracking).
+
+Per-stage wall-clock timing is reported with the reference's stage names
+(tot/load/pre/net/dec/post/merge/pnp/track — base_detector.py:390-772, demo.py:54-57).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from centerpose_tpu.config import DATA_MEAN, DATA_STD, CenterPoseConfig
+from centerpose_tpu.geometry.affine import (
+    get_affine_transform,
+    transform_preds,
+    warp_affine,
+)
+from centerpose_tpu.geometry.cuboid import cuboid_vertices
+from centerpose_tpu.inference.nms import soft_nms
+from centerpose_tpu.models import create_model
+from centerpose_tpu.ops.decode import object_pose_decode
+from centerpose_tpu.ops.pnp import solve_pnp_batch
+
+# Post-process std scale factor (src/lib/utils/post_process.py:15).
+_STD_COEFFICIENT = 0.32
+
+# Category-specific visibility rejection (cuboid_pnp_shell.py:59-72).
+_NUM_NOT_VISIBLE_THRESH = {
+    "book": 6, "chair": 6, "cereal_box": 6,
+    "camera": 3, "bottle": 3, "cup": 3,
+}
+
+DEFAULT_CAMERA = np.array(
+    [[663.0287679036459, 0, 300.2775065104167],
+     [0, 663.0287679036459, 395.00066121419275],
+     [0, 0, 1]]
+)  # demo.py:141-144
+
+
+class Detector:
+    """Single-category CenterPose detector (image model or tracking model)."""
+
+    def __init__(self, config: CenterPoseConfig, variables=None, rng_seed: int = 0):
+        self.cfg = config
+        self.model = create_model(config)
+        if variables is None:
+            dummy = jnp.zeros((1, config.input_h, config.input_w, 3), jnp.float32)
+            kwargs = {}
+            if config.tracking_task:
+                kwargs = dict(
+                    pre_img=dummy,
+                    pre_hm=jnp.zeros((1, config.input_h, config.input_w, 1)),
+                    pre_hm_hp=jnp.zeros((1, config.input_h, config.input_w, 8)),
+                )
+            variables = self.model.init(jax.random.PRNGKey(rng_seed), dummy, **kwargs)
+        self.variables = variables
+        self.mean = np.array(DATA_MEAN, np.float32).reshape(1, 1, 3)
+        self.std = np.array(DATA_STD, np.float32).reshape(1, 1, 3)
+        self._forward_decode = self._build_forward()
+        self.pre_images = None
+        self.tracker = None
+        if config.tracking_task:
+            from centerpose_tpu.tracking.tracker import Tracker
+
+            self.tracker = Tracker(config)
+
+    # ------------------------------------------------------------------ net+dec
+    def _build_forward(self):
+        cfg = self.cfg
+        fit = cfg.tracking_task or cfg.rep_mode == 2
+
+        @jax.jit
+        def forward_decode(variables, images, pre_img=None, pre_hm=None, pre_hm_hp=None):
+            kwargs = {}
+            if cfg.tracking_task:
+                kwargs = dict(pre_img=pre_img, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp)
+            outputs = self.model.apply(variables, images, **kwargs)
+            dets = object_pose_decode(
+                outputs,
+                k=cfg.K,
+                rep_mode=cfg.rep_mode,
+                inference=True,
+                fit_gaussian=fit,
+                apply_sigmoid=True,
+                balance_coefficient=cfg.balance_coefficient,
+                hm_hp_thresh=cfg.hm_hp_thresh,
+            )
+            return outputs, dets
+
+        return forward_decode
+
+    # ------------------------------------------------------------------ pre
+    def pre_process(self, image: np.ndarray, input_meta: Optional[dict] = None):
+        """Fixed-resolution path of base_detector.pre_process (:91-148)."""
+        cfg = self.cfg
+        height, width = image.shape[:2]
+        c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
+        s = max(height, width) * 1.0
+        inp_h, inp_w = cfg.input_h, cfg.input_w
+
+        trans_input = get_affine_transform(c, s, 0, (inp_w, inp_h))
+        inp = warp_affine(image.astype(np.float32), trans_input, (inp_w, inp_h))
+        inp = (inp / 255.0 - self.mean) / self.std
+        images = inp[None].astype(np.float32)  # NHWC
+
+        meta = {
+            "c": c,
+            "s": s,
+            "height": height,
+            "width": width,
+            "out_height": inp_h // cfg.down_ratio,
+            "out_width": inp_w // cfg.down_ratio,
+            "camera_matrix": DEFAULT_CAMERA,
+        }
+        if input_meta:
+            meta.update(input_meta)
+        return images, meta
+
+    # ------------------------------------------------------------------ post
+    def post_process(self, dets: Dict[str, np.ndarray], meta: dict) -> List[dict]:
+        """object_pose_post_process (src/lib/utils/post_process.py:12-68)."""
+        c, s = meta["c"], meta["s"]
+        w, h = meta["out_width"], meta["out_height"]
+        scale_fac = s / max(w, h)
+        results = []
+        k = dets["scores"].shape[1]
+        for jdx in range(k):
+            item = {
+                "score": float(dets["scores"][0, jdx, 0]),
+                "cls": int(dets["clses"][0, jdx, 0]),
+                "obj_scale": np.array(dets["obj_scale"][0, jdx]),
+                "obj_scale_uncertainty": np.array(dets["obj_scale_uncertainty"][0, jdx]),
+                "kps_displacement_std": dets["kps_displacement_std"][0, jdx]
+                * scale_fac
+                * _STD_COEFFICIENT,
+                "tracking": dets["tracking"][0, jdx] * scale_fac,
+                "tracking_hp": dets["tracking_hp"][0, jdx] * scale_fac,
+            }
+            bbox = transform_preds(dets["bboxes"][0, jdx].reshape(2, 2), c, s, (w, h))
+            item["bbox"] = bbox.reshape(4)
+            item["ct"] = [
+                (item["bbox"][0] + item["bbox"][2]) / 2,
+                (item["bbox"][1] + item["bbox"][3]) / 2,
+            ]
+            item["kps"] = transform_preds(
+                dets["kps"][0, jdx].reshape(-1, 2), c, s, (w, h)
+            ).reshape(-1)
+            item["kps_displacement_mean"] = transform_preds(
+                dets["kps_displacement_mean"][0, jdx].reshape(-1, 2), c, s, (w, h)
+            ).reshape(-1)
+            item["kps_heatmap_mean"] = transform_preds(
+                dets["kps_heatmap_mean"][0, jdx].reshape(-1, 2), c, s, (w, h)
+            ).reshape(-1)
+            item["kps_heatmap_std"] = (
+                dets["kps_heatmap_std"][0, jdx] * scale_fac * _STD_COEFFICIENT
+            )
+            item["kps_heatmap_height"] = dets["kps_heatmap_height"][0, jdx]
+            results.append(item)
+        return results
+
+    # ------------------------------------------------------------------ merge
+    def merge_outputs(self, detections: List[dict]) -> List[dict]:
+        """Threshold + soft-NMS (object_pose.py:184-197)."""
+        results = [d for d in detections if d["score"] > self.cfg.vis_thresh]
+        if self.cfg.nms and results:
+            bboxes = np.stack([d["bbox"] for d in results])
+            scores = np.array([d["score"] for d in results])
+            keep = soft_nms(
+                bboxes, scores, nt=0.5, method=2, threshold=self.cfg.vis_thresh
+            )
+            results = [results[i] for i in keep]
+        return results
+
+    # ------------------------------------------------------------------ fusion
+    def gaussian_fusion(self, det: dict) -> None:
+        """Inverse-variance fusion of displacement vs heatmap keypoints
+        (base_detector.py:502-544). Mutates det in place."""
+        hm_mean = det["kps_heatmap_mean"]
+        hm_std = det["kps_heatmap_std"]
+        d_mean = det["kps_displacement_mean"]
+        d_std = det["kps_displacement_std"]
+
+        heat_bad = (hm_mean < 0) | (hm_std < 0)
+        if self.cfg.hps_uncertainty:
+            var_d = np.maximum(d_std, 1e-9) ** -2.0
+            var_h = np.maximum(hm_std, 1e-9) ** -2.0
+            std_f = (var_d + var_h) ** -0.5
+            mean_f = std_f ** 2 * (var_d * d_mean + var_h * hm_mean)
+            std = np.where(heat_bad, d_std, std_f)
+            mean = np.where(heat_bad, d_mean, mean_f)
+        else:
+            std_f = np.maximum(hm_std, 1e-9) / np.sqrt(2)
+            var_h = np.maximum(hm_std, 1e-9) ** -2.0
+            mean_f = std_f ** 2 * (var_h * d_mean + var_h * hm_mean)
+            std = np.where(heat_bad, 20.0, std_f)
+            mean = np.where(heat_bad, d_mean, mean_f)
+        det["kps_fusion_mean"] = mean
+        det["kps_fusion_std"] = std
+
+    # ------------------------------------------------------------------ pnp
+    def _pnp_points(self, det: dict) -> np.ndarray:
+        """Assemble the PnP point set for a detection by rep_mode
+        (base_detector.py:550-650)."""
+        mode = self.cfg.rep_mode
+        if mode in (0, 3, 4):
+            return np.asarray(det["kps"], np.float64).reshape(-1, 2)
+        # rep_mode 1 (default): 16 points interleaved [disp_j, heat_j].
+        p1 = np.asarray(det["kps_displacement_mean"], np.float64).reshape(-1, 2)
+        p2 = np.asarray(det["kps_heatmap_mean"], np.float64).reshape(-1, 2)
+        return np.hstack([p1, p2]).reshape(-1, 2)
+
+    def run_pnp(self, results: List[dict], meta: dict) -> List[tuple]:
+        """Batched pnp_shell over all surviving boxes (cuboid_pnp_shell.py:11-93)."""
+        if not results:
+            return []
+        cat = self.cfg.category
+        camera = np.asarray(meta["camera_matrix"], np.float64)
+
+        points = np.stack([self._pnp_points(d) for d in results])  # [M, N, 2]
+        cuboids = np.stack(
+            [
+                cuboid_vertices(
+                    np.asarray(d["obj_scale"], np.float64)
+                    / max(float(d["obj_scale"][1]), 1e-9)
+                )
+                for d in results
+            ]
+        )
+        res = solve_pnp_batch(
+            jnp.asarray(points, jnp.float32),
+            jnp.asarray(cuboids, jnp.float32),
+            jnp.asarray(camera, jnp.float32),
+        )
+        res = jax.tree_util.tree_map(np.asarray, res)
+
+        boxes = []
+        for m, det in enumerate(results):
+            if not res.valid[m]:
+                continue
+            # OpenGL pose is the eval-facing result (cuboid_pnp_solver.py:234-239).
+            location = res.translation_gl[m]
+            quaternion = res.quaternion_gl[m]
+            det["location"] = location.tolist()
+            det["quaternion_xyzw"] = quaternion.tolist()
+            det["projected_cuboid"] = res.projected[m]
+
+            # 3D corners in camera frame from the OpenGL pose (pnp_shell:31-44).
+            r_gl = res.rotation_gl[m]
+            pts3d = cuboids[m] @ r_gl.T + location
+            pts3d = np.vstack([pts3d.mean(axis=0, keepdims=True), pts3d])
+            det["kps_3d_cam"] = pts3d
+
+            proj = res.projected[m]
+            proj9 = np.vstack([proj.mean(axis=0, keepdims=True), proj]).astype(
+                np.float64
+            )
+            proj9[:, 0] /= meta["width"]
+            proj9[:, 1] /= meta["height"]
+            det["kps_pnp"] = proj9
+
+            # Visibility rejection (pnp_shell:59-79).
+            thresh = _NUM_NOT_VISIBLE_THRESH.get(cat)
+            if thresh is not None:
+                out = (
+                    (proj9[:, 0] < 0)
+                    | (proj9[:, 0] > 1)
+                    | (proj9[:, 1] < 0)
+                    | (proj9[:, 1] > 1)
+                ).sum()
+                if out >= thresh:
+                    continue
+            c0 = proj9[0]
+            if not (0 < c0[0] < 1 and 0 < c0[1] < 1):
+                continue
+
+            kps9 = np.asarray(det["kps"], np.float64).reshape(-1, 2)
+            kps9 = np.vstack([kps9.mean(axis=0, keepdims=True), kps9])
+            kps9[:, 0] /= meta["width"]
+            kps9[:, 1] /= meta["height"]
+            boxes.append(
+                (proj9, pts3d, np.array(det["obj_scale"]), kps9, det)
+            )
+        return boxes
+
+    # ------------------------------------------------------------------ run
+    def run(self, image: np.ndarray, meta_inp: Optional[dict] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        times = {}
+        t0 = time.time()
+
+        images, meta = self.pre_process(image, meta_inp)
+        t1 = time.time()
+        times["pre"] = t1 - t0
+
+        images_j = jnp.asarray(images)
+        extra = {}
+        if cfg.tracking_task:
+            pre_hm, pre_hm_hp, pre_images = self._tracking_inputs(images_j, meta)
+            extra = dict(pre_img=pre_images, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp)
+        outputs, dets = self._forward_decode(self.variables, images_j, **extra)
+        dets = {k_: np.asarray(v) for k_, v in dets.items()}
+        t2 = time.time()
+        times["net"] = t2 - t1
+        times["dec"] = 0.0  # fused into `net` — one XLA program
+
+        detections = self.post_process(dets, meta)
+        t3 = time.time()
+        times["post"] = t3 - t2
+
+        results = self.merge_outputs(detections)
+        t4 = time.time()
+        times["merge"] = t4 - t3
+
+        if cfg.tracking_task:
+            for det in results:
+                self.gaussian_fusion(det)
+
+        boxes = self.run_pnp(results, meta)
+        t5 = time.time()
+        times["pnp"] = t5 - t4
+
+        if self.tracker is not None:
+            results, boxes = self.tracker.step(results, boxes, meta)
+            self.pre_images = images_j
+        t6 = time.time()
+        times["track"] = t6 - t5
+        times["tot"] = t6 - t0
+
+        return {
+            "results": results,
+            "boxes": boxes,
+            "meta": meta,
+            "times": times,
+        }
+
+    def _tracking_inputs(self, images_j, meta):
+        """Render previous-frame heatmaps from tracker state
+        (base_detector.py:150-388), on device."""
+        from centerpose_tpu.tracking.render import render_previous_heatmaps
+
+        cfg = self.cfg
+        if self.pre_images is None:
+            self.pre_images = images_j
+            if self.tracker is not None:
+                self.tracker.reset()
+        pre_hm, pre_hm_hp = render_previous_heatmaps(
+            self.tracker.active_tracks() if self.tracker else [],
+            meta,
+            cfg,
+        )
+        return pre_hm, pre_hm_hp, self.pre_images
+
+    def reset_tracking(self):
+        self.pre_images = None
+        if self.tracker is not None:
+            self.tracker.reset()

@@ -51,7 +51,6 @@ class ConvBN(nn.Module):
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             dtype=self.dtype,
-            axis_name="data" if train else None,
             name="bn",
         )(x)
         if self.relu:
@@ -207,7 +206,6 @@ class DeformConvBlock(nn.Module):
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             dtype=self.dtype,
-            axis_name="data" if train else None,
             name="bn",
         )(x)
         return nn.relu(x)

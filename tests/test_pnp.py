@@ -1,0 +1,172 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from centerpose_tpu.geometry.cuboid import cuboid_vertices
+from centerpose_tpu.ops.pnp import (
+    rodrigues,
+    rotation_to_quaternion,
+    solve_pnp_batch,
+    solve_pnp_single,
+)
+
+CAMERA = np.array(
+    [[600.0, 0.0, 320.0], [0.0, 600.0, 240.0], [0.0, 0.0, 1.0]], np.float32
+)
+
+
+def _random_pose(rng, depth=3.0):
+    angle = rng.uniform(0.2, 1.2)
+    axis = rng.randn(3)
+    axis /= np.linalg.norm(axis)
+    rvec = axis * angle
+    r = np.asarray(rodrigues(jnp.asarray(rvec, jnp.float32)))
+    t = np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.3, 0.3), depth])
+    return r, t
+
+
+def _project_np(points3d, r, t, camera=CAMERA):
+    pc = points3d @ r.T + t
+    return np.stack(
+        [
+            camera[0, 0] * pc[:, 0] / pc[:, 2] + camera[0, 2],
+            camera[1, 1] * pc[:, 1] / pc[:, 2] + camera[1, 2],
+        ],
+        axis=-1,
+    )
+
+
+class TestRotationHelpers:
+    def test_rodrigues_roundtrip(self):
+        rng = np.random.RandomState(0)
+        for _ in range(5):
+            axis = rng.randn(3)
+            axis /= np.linalg.norm(axis)
+            rvec = axis * rng.uniform(0.1, 2.5)
+            r = np.asarray(rodrigues(jnp.asarray(rvec, jnp.float32)))
+            assert np.allclose(r @ r.T, np.eye(3), atol=1e-5)
+            assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-5)
+
+    def test_quaternion_unit_and_consistent(self):
+        rng = np.random.RandomState(1)
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        rvec = jnp.asarray(axis * 0.7, jnp.float32)
+        r = rodrigues(rvec)
+        q = np.asarray(rotation_to_quaternion(r))
+        assert np.linalg.norm(q) == pytest.approx(1.0, abs=1e-5)
+        # Rebuild R from q and compare.
+        x, y, z, w = q
+        r_back = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        np.testing.assert_allclose(r_back, np.asarray(r), atol=1e-4)
+
+
+class TestSolvePnP:
+    def test_recovers_exact_pose_8pt(self):
+        rng = np.random.RandomState(2)
+        cuboid = cuboid_vertices((0.4, 1.0, 0.6))
+        r_gt, t_gt = _random_pose(rng)
+        pts2d = _project_np(cuboid, r_gt, t_gt)
+
+        res = solve_pnp_single(
+            jnp.asarray(pts2d, jnp.float32),
+            jnp.asarray(cuboid, jnp.float32),
+            jnp.asarray(CAMERA),
+        )
+        assert bool(res.valid)
+        np.testing.assert_allclose(np.asarray(res.translation), t_gt, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.rotation), r_gt, atol=5e-3)
+        assert float(res.reproj_error) < 0.5
+
+    def test_16pt_interleaved_with_invalid_sentinels(self):
+        # rep_mode 1: 16 points [disp, heat] per corner; heatmap entries invalid.
+        rng = np.random.RandomState(3)
+        cuboid = cuboid_vertices((0.5, 1.0, 0.8))
+        r_gt, t_gt = _random_pose(rng)
+        disp = _project_np(cuboid, r_gt, t_gt)
+        pts16 = np.full((16, 2), -10000.0, np.float32)
+        pts16[0::2] = disp  # displacement slots valid, heatmap slots invalid
+        res = solve_pnp_single(
+            jnp.asarray(pts16), jnp.asarray(cuboid, jnp.float32), jnp.asarray(CAMERA)
+        )
+        assert bool(res.valid)
+        np.testing.assert_allclose(np.asarray(res.translation), t_gt, atol=1e-2)
+
+    def test_noisy_points_reasonable(self):
+        rng = np.random.RandomState(4)
+        cuboid = cuboid_vertices((0.4, 1.0, 0.6))
+        r_gt, t_gt = _random_pose(rng)
+        pts2d = _project_np(cuboid, r_gt, t_gt) + rng.randn(8, 2) * 1.5
+        res = solve_pnp_single(
+            jnp.asarray(pts2d, jnp.float32),
+            jnp.asarray(cuboid, jnp.float32),
+            jnp.asarray(CAMERA),
+        )
+        assert bool(res.valid)
+        assert np.linalg.norm(np.asarray(res.translation) - t_gt) < 0.15
+        assert float(res.reproj_error) < 5.0
+
+    def test_too_few_points_invalid(self):
+        cuboid = cuboid_vertices((1, 1, 1))
+        pts = np.full((8, 2), -10000.0, np.float32)
+        pts[:4] = [[100, 100], [200, 100], [200, 200], [100, 200]]
+        res = solve_pnp_single(
+            jnp.asarray(pts), jnp.asarray(cuboid, jnp.float32), jnp.asarray(CAMERA)
+        )
+        assert not bool(res.valid)
+
+    def test_opengl_conversion(self):
+        rng = np.random.RandomState(5)
+        cuboid = cuboid_vertices((0.4, 1.0, 0.6))
+        r_gt, t_gt = _random_pose(rng)
+        pts2d = _project_np(cuboid, r_gt, t_gt)
+        res = solve_pnp_single(
+            jnp.asarray(pts2d, jnp.float32),
+            jnp.asarray(cuboid, jnp.float32),
+            jnp.asarray(CAMERA),
+        )
+        # x <-> y swap, z negated (cuboid_pnp_solver.py:184-189).
+        t_cv = np.asarray(res.translation)
+        t_gl = np.asarray(res.translation_gl)
+        np.testing.assert_allclose(t_gl, [t_cv[1], t_cv[0], -t_cv[2]], atol=1e-6)
+
+    def test_batched_matches_single(self):
+        rng = np.random.RandomState(6)
+        cuboid = cuboid_vertices((0.4, 1.0, 0.6))
+        all_pts, all_cub = [], []
+        poses = []
+        for _ in range(4):
+            r_gt, t_gt = _random_pose(rng)
+            poses.append((r_gt, t_gt))
+            all_pts.append(_project_np(cuboid, r_gt, t_gt))
+            all_cub.append(cuboid)
+        res = solve_pnp_batch(
+            jnp.asarray(np.stack(all_pts), jnp.float32),
+            jnp.asarray(np.stack(all_cub), jnp.float32),
+            jnp.asarray(CAMERA),
+        )
+        assert res.translation.shape == (4, 3)
+        for i, (r_gt, t_gt) in enumerate(poses):
+            assert bool(res.valid[i])
+            np.testing.assert_allclose(
+                np.asarray(res.translation[i]), t_gt, atol=1e-2
+            )
+
+    def test_projected_points_match_input(self):
+        rng = np.random.RandomState(7)
+        cuboid = cuboid_vertices((0.4, 1.0, 0.6))
+        r_gt, t_gt = _random_pose(rng)
+        pts2d = _project_np(cuboid, r_gt, t_gt)
+        res = solve_pnp_single(
+            jnp.asarray(pts2d, jnp.float32),
+            jnp.asarray(cuboid, jnp.float32),
+            jnp.asarray(CAMERA),
+        )
+        np.testing.assert_allclose(np.asarray(res.projected), pts2d, atol=0.3)
