@@ -1,0 +1,283 @@
+"""Objectron-style evaluator: detector → matched metrics → AP report.
+
+Parity target: `Evaluator` (src/tools/objectron_eval/eval_image_official.py:129-1183
+and eval_video_official.py:159-1560):
+  * greedy pred→GT matching by keypoint L2 (`match_box`, :1076-1096);
+  * plane-based metric-scale recovery (`compute_scale`, :795-803): the predicted
+    (height-normalized) box is scaled so its bottom face sits on the GT ground plane;
+  * 7 metric families over 21-threshold AP curves: 3D IoU (with rotation sweep for
+    symmetric categories), 2D pixel error, azimuth/polar viewpoint error, ADD/ADD-S,
+    scale error (:59-64,664-994);
+  * video consistency score: mean pairwise 3D IoU of predictions in a sliding window
+    per GT instance (eval_video_official.py:811-853);
+  * text AP report (`write_report`, :1098-1169).
+
+Data source: DOPE-style png+json pairs (the reference's own offline-preprocessed
+format, data/preprocess.py) rather than TF records — the environment has no
+TensorFlow; tfrecord ingestion is a documented gap to be closed by a native reader.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from centerpose_tpu.config import SYMMETRIC_CATEGORIES, CenterPoseConfig
+from centerpose_tpu.evaluation.iou3d import OrientedBox, box_iou_3d, iou_with_symmetry_sweep
+from centerpose_tpu.evaluation.metrics import (
+    THRESH_2D_PIXEL,
+    THRESH_3D_IOU,
+    THRESH_ADD,
+    THRESH_AZIMUTH,
+    THRESH_POLAR,
+    THRESH_SCALE,
+    AveragePrecision,
+    HitMiss,
+    add_metric,
+    adds_metric,
+    azimuth_polar_error,
+    pixel_error_2d,
+    scale_error,
+)
+
+_FAMILIES = ("iou3d", "pixel2d", "azimuth", "polar", "add", "adds", "scale")
+_THRESH = {
+    "iou3d": THRESH_3D_IOU,
+    "pixel2d": THRESH_2D_PIXEL,
+    "azimuth": THRESH_AZIMUTH,
+    "polar": THRESH_POLAR,
+    "add": THRESH_ADD,
+    "adds": THRESH_ADD,
+    "scale": THRESH_SCALE,
+}
+_GREATER = {"iou3d": True}  # all others are error metrics (hit = metric <= thresh)
+_REPORT_POINT = {
+    "iou3d": 0.5, "pixel2d": 0.1, "azimuth": 30.0, "polar": 20.0,
+    "add": 0.1, "adds": 0.1, "scale": 0.5,
+}
+
+
+@dataclasses.dataclass
+class GroundTruthInstance:
+    kps_2d_norm: np.ndarray   # [9, 2] normalized image coords (center first)
+    kps_3d_cam: np.ndarray    # [9, 3] OpenGL camera frame
+    scale: np.ndarray         # [3]
+    rotation: np.ndarray      # [3, 3] object→camera
+    translation: np.ndarray   # [3]
+    visibility: float = 1.0
+
+
+def parse_gt_json(path: str) -> Tuple[List[GroundTruthInstance], Optional[tuple], dict]:
+    """Parse a DOPE-style annotation json into GT instances + ground plane."""
+    from scipy.spatial.transform import Rotation as R
+
+    with open(path) as f:
+        anns = json.load(f)
+    cam = anns.get("camera_data", {})
+    width = cam.get("width", 640)
+    height = cam.get("height", 480)
+
+    instances = []
+    for obj in anns.get("objects", []):
+        kps2d = np.asarray(obj["projected_cuboid"], np.float64)[:9].copy()
+        kps2d[:, 0] /= width
+        kps2d[:, 1] /= height
+        instances.append(
+            GroundTruthInstance(
+                kps_2d_norm=kps2d,
+                kps_3d_cam=np.asarray(obj["keypoints_3d"], np.float64)[:9],
+                scale=np.abs(np.asarray(obj["scale"], np.float64)),
+                rotation=R.from_quat(obj["quaternion_xyzw"]).as_matrix(),
+                translation=np.asarray(obj["location"], np.float64),
+            )
+        )
+    plane = None
+    if "AR_data" in anns:
+        plane = (
+            np.asarray(anns["AR_data"]["plane_center"], np.float64),
+            np.asarray(anns["AR_data"]["plane_normal"], np.float64),
+        )
+    meta = {"width": width, "height": height, "camera_data": cam}
+    return instances, plane, meta
+
+
+def compute_plane_scale(box9_3d: np.ndarray, plane: tuple) -> float:
+    """Metric scale so the box's 4 lowest vertices sit on the plane
+    (eval_image_official.py:795-803)."""
+    center, normal = plane
+    dots = np.sort([float(np.dot(v, normal)) for v in box9_3d[1:]])
+    center_dot = float(np.dot(center, normal))
+    denom = np.asarray(dots[:4])
+    denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+    return float(np.mean(center_dot / denom))
+
+
+class Evaluator:
+    """Accumulates hit/miss records over a detector's predictions."""
+
+    def __init__(self, config: CenterPoseConfig, eval_num_symmetry: Optional[int] = None):
+        self.cfg = config
+        if eval_num_symmetry is None:
+            eval_num_symmetry = (
+                100 if config.category in SYMMETRIC_CATEGORIES else 1
+            )  # shell_eval defaults for symmetric categories
+        self.eval_num_symmetry = eval_num_symmetry
+        self.hm: Dict[str, HitMiss] = {
+            f: HitMiss(_THRESH[f]) for f in _FAMILIES
+        }
+        self.num_gt = 0
+        self.num_pred = 0
+        self.vis_thresh = 0.5
+        # consistency bookkeeping: instance key -> list of (frame_id, OrientedBox)
+        self._consistency: Dict[str, List[Tuple[int, OrientedBox]]] = {}
+
+    # ------------------------------------------------------------------ per image
+    def evaluate_image(
+        self,
+        boxes: Sequence[tuple],
+        instances: Sequence[GroundTruthInstance],
+        plane: Optional[tuple] = None,
+        frame_id: Optional[int] = None,
+    ):
+        """Record metrics for one image's PnP-validated detections.
+
+        boxes: detector output tuples (proj9_norm, pts3d_cam, scale_pred, kps9_norm,
+        det) — the pnp_shell return quintuple.
+        """
+        self.num_gt += len(instances)
+        if not instances:
+            return
+        gt_kps = np.stack([g.kps_2d_norm for g in instances])
+        vis = np.array([g.visibility for g in instances])
+
+        for box in boxes:
+            proj9, pts3d, scale_pred, kps9, det = box
+            conf = float(det.get("score", 1.0))
+            self.num_pred += 1
+
+            # Greedy match by keypoint L2 (match_box).
+            norms = np.linalg.norm(gt_kps[:, 1:, :] - np.asarray(kps9)[1:, :], axis=(1, 2))
+            i_min = int(np.argmin(norms))
+            if vis[i_min] < self.vis_thresh:
+                continue
+            gt = instances[i_min]
+
+            # Metric-scale recovery from the ground plane.
+            pts3d_scaled = np.asarray(pts3d, np.float64)
+            if plane is not None:
+                s = compute_plane_scale(pts3d_scaled, plane)
+                pts3d_scaled = pts3d_scaled * s
+
+            # Oriented boxes for IoU.
+            box_pred = OrientedBox.from_corners_fit(pts3d_scaled[1:])
+            box_gt = OrientedBox(
+                rotation=gt.rotation, translation=gt.translation, scale=gt.scale
+            )
+            iou = iou_with_symmetry_sweep(box_pred, box_gt, self.eval_num_symmetry)
+            self.hm["iou3d"].record_hit_miss(iou, conf, greater=True)
+
+            pix = pixel_error_2d(
+                proj9, gt.kps_2d_norm,
+                num_symmetry=4 if self.eval_num_symmetry > 1 else 1,
+            )
+            self.hm["pixel2d"].record_hit_miss(pix, conf, greater=False)
+
+            az, po = azimuth_polar_error(
+                box_pred.rotation, gt.rotation,
+                num_symmetry=min(self.eval_num_symmetry, 36),
+            )
+            self.hm["azimuth"].record_hit_miss(az, conf, greater=False)
+            self.hm["polar"].record_hit_miss(po, conf, greater=False)
+
+            self.hm["add"].record_hit_miss(
+                add_metric(pts3d_scaled, gt.kps_3d_cam), conf, greater=False
+            )
+            self.hm["adds"].record_hit_miss(
+                adds_metric(pts3d_scaled, gt.kps_3d_cam), conf, greater=False
+            )
+            self.hm["scale"].record_hit_miss(
+                scale_error(scale_pred, gt.scale), conf, greater=False
+            )
+
+            if frame_id is not None:
+                self._consistency.setdefault(str(i_min), []).append(
+                    (frame_id, box_pred)
+                )
+
+    # ------------------------------------------------------------------ results
+    def consistency_score(self, window: int = 10) -> float:
+        """Mean pairwise 3D IoU within a sliding frame window per instance
+        (eval_video_official.py:811-853)."""
+        scores = []
+        for _, entries in self._consistency.items():
+            entries = sorted(entries, key=lambda e: e[0])
+            for i in range(len(entries)):
+                for j in range(i + 1, len(entries)):
+                    if entries[j][0] - entries[i][0] > window:
+                        break
+                    scores.append(box_iou_3d(entries[i][1], entries[j][1]))
+        return float(np.mean(scores)) if scores else 0.0
+
+    def compute_aps(self) -> Dict[str, np.ndarray]:
+        ap = AveragePrecision(num_gt=self.num_gt)
+        return {f: ap.compute(self.hm[f]).copy() for f in _FAMILIES}
+
+    def report(self) -> str:
+        """Text AP table (write_report parity: one AP curve per family)."""
+        aps = self.compute_aps()
+        lines = [
+            f"Evaluation report — category={self.cfg.category} "
+            f"num_gt={self.num_gt} num_pred={self.num_pred}",
+        ]
+        for f in _FAMILIES:
+            thr = _THRESH[f]
+            point = _REPORT_POINT[f]
+            i = int(np.argmin(np.abs(thr - point)))
+            lines.append(
+                f"  {f:8s} AP@{point:g} = {aps[f][i]:.4f}   curve: "
+                + " ".join(f"{v:.3f}" for v in aps[f])
+            )
+        if self._consistency:
+            lines.append(f"  consistency = {self.consistency_score():.4f}")
+        return "\n".join(lines)
+
+
+def evaluate_dataset(
+    detector,
+    data_root: str,
+    config: CenterPoseConfig,
+    max_images: Optional[int] = None,
+    is_video: bool = False,
+) -> Evaluator:
+    """Run the detector over a DOPE-style dataset directory and accumulate AP."""
+    from PIL import Image
+
+    from centerpose_tpu.data.dataset import find_samples
+
+    evaluator = Evaluator(config)
+    samples = find_samples(data_root)
+    if max_images:
+        samples = samples[:max_images]
+
+    last_video = None
+    for img_path, video_id, frame_id, json_path in samples:
+        if is_video and video_id != last_video:
+            detector.reset_tracking()
+            last_video = video_id
+        instances, plane, meta = parse_gt_json(json_path)
+        img = np.asarray(Image.open(img_path).convert("RGB"))
+        cam = meta["camera_data"].get("intrinsics")
+        input_meta = {}
+        if cam:
+            input_meta["camera_matrix"] = np.array(
+                [[cam["fx"], 0, cam["cx"]], [0, cam["fy"], cam["cy"]], [0, 0, 1]]
+            )
+        out = detector.run(img, input_meta or None)
+        evaluator.evaluate_image(
+            out["boxes"], instances, plane, frame_id if is_video else None
+        )
+    return evaluator

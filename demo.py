@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Demo entry point: single image / folder inference with pose visualization.
+
+Parity target: src/demo.py (image/folder modes, per-stage timing print
+tot/pre/net/dec/post/merge/pnp/track — demo.py:19,54-57). Video/webcam modes use the
+tracking detector when --tracking is set.
+"""
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="centerpose_tpu demo")
+    p.add_argument("--demo", required=True, help="image / folder path")
+    p.add_argument("--arch", default="dlav1_34")
+    p.add_argument("--c", dest="category", default="shoe")
+    p.add_argument("--load_model", default="", help="orbax dir or torch .pth")
+    p.add_argument("--tracking", action="store_true")
+    p.add_argument("--vis_thresh", type=float, default=0.3)
+    p.add_argument("--rep_mode", type=int, default=1)
+    p.add_argument("--cam_intrinsic", type=float, nargs=9, default=None)
+    p.add_argument("--out_dir", default="demo_out")
+    p.add_argument("--save_json", action="store_true", default=True)
+    p.add_argument("--debug", type=int, default=0, help=">0 saves visualizations")
+    return p.parse_args()
+
+
+def load_detector(args):
+    from centerpose_tpu.config import SYMMETRIC_CATEGORIES, preset
+    from centerpose_tpu.inference.detector import Detector
+
+    name = "centerpose_track" if args.tracking else (
+        "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"
+    )
+    cfg = preset(
+        name,
+        arch=args.arch if not args.tracking else "dla_34",
+        category=args.category,
+        vis_thresh=args.vis_thresh,
+        rep_mode=args.rep_mode,
+    )
+    variables = None
+    if args.load_model:
+        variables = _load_variables(args.load_model, cfg)
+    return Detector(cfg, variables)
+
+
+def _load_variables(path, cfg):
+    import jax
+
+    from centerpose_tpu.models import create_model
+    from centerpose_tpu.models.convert import convert_state_dict, load_pth
+
+    if path.endswith(".pth"):
+        import jax.numpy as jnp
+
+        model = create_model(cfg)
+        dummy = jnp.zeros((1, cfg.input_h, cfg.input_w, 3), jnp.float32)
+        kwargs = {}
+        if cfg.tracking_task:
+            kwargs = dict(
+                pre_img=dummy,
+                pre_hm=jnp.zeros((1, cfg.input_h, cfg.input_w, 1)),
+                pre_hm_hp=jnp.zeros((1, cfg.input_h, cfg.input_w, 8)),
+            )
+        template = model.init(jax.random.PRNGKey(0), dummy, **kwargs)
+        return convert_state_dict(load_pth(path), template, use_gn=cfg.use_conv_gru)
+    # orbax train-state checkpoint
+    from centerpose_tpu.models import create_model as _cm
+    from centerpose_tpu.training.trainer import create_train_state
+    from centerpose_tpu.utils.checkpoint import load_checkpoint
+
+    model = _cm(cfg)
+    state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    state, _ = load_checkpoint(path, state)
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def main():
+    args = parse_args()
+    detector = load_detector(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if os.path.isdir(args.demo):
+        exts = ("*.png", "*.jpg", "*.jpeg")
+        files = sorted(sum([glob.glob(os.path.join(args.demo, e)) for e in exts], []))
+    else:
+        files = [args.demo]
+
+    meta = {}
+    if args.cam_intrinsic is not None:
+        meta["camera_matrix"] = np.array(args.cam_intrinsic).reshape(3, 3)
+
+    from PIL import Image
+
+    for path in files:
+        img = np.asarray(Image.open(path).convert("RGB"))
+        out = detector.run(img, meta or None)
+        times = out["times"]
+        print(
+            f"{os.path.basename(path)}: "
+            + "|".join(f"{k} {v:.3f}s" for k, v in times.items())
+        )
+        if args.save_json:
+            record = {
+                "image": path,
+                "detections": [
+                    {
+                        "score": d["score"],
+                        "location": d.get("location"),
+                        "quaternion_xyzw": d.get("quaternion_xyzw"),
+                        "obj_scale": np.asarray(d["obj_scale"]).tolist(),
+                        "kps": np.asarray(d["kps"]).tolist(),
+                        "bbox": np.asarray(d["bbox"]).tolist(),
+                    }
+                    for d in out["results"]
+                ],
+            }
+            base = os.path.splitext(os.path.basename(path))[0]
+            with open(os.path.join(args.out_dir, base + ".json"), "w") as f:
+                json.dump(record, f, indent=1)
+        if args.debug > 0:
+            from centerpose_tpu.utils.visualize import draw_detections
+
+            vis = draw_detections(img, out["results"], out["boxes"])
+            Image.fromarray(vis).save(
+                os.path.join(args.out_dir, os.path.basename(path))
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Evaluation entry points.
+
+Two modes, mirroring the reference's two harness entry points:
+  * `--mode loss`   — replay checkpoints through the validation loss
+                      (src/test.py:25-224 parity);
+  * `--mode metric` — full Objectron-style AP evaluation over a DOPE-format dataset
+                      (src/tools/objectron_eval/eval_image_official.py /
+                      eval_video_official.py parity; see
+                      centerpose_tpu/evaluation/evaluator.py).
+"""
+
+import argparse
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="centerpose_tpu evaluation")
+    p.add_argument("--mode", choices=("loss", "metric"), default="metric")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--c", dest="category", default="shoe")
+    p.add_argument("--arch", default="dlav1_34")
+    p.add_argument("--load_model", default="")
+    p.add_argument("--tracking", action="store_true")
+    p.add_argument("--eval_num_symmetry", type=int, default=0, help="0 = auto")
+    p.add_argument("--max_images", type=int, default=0)
+    p.add_argument("--report_file", default="")
+    p.add_argument("--input_res", type=int, default=512)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from centerpose_tpu.config import preset
+
+    name = "centerpose_track" if args.tracking else (
+        "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"
+    )
+    cfg = preset(
+        name,
+        category=args.category,
+        arch=args.arch if not args.tracking else "dla_34",
+        input_h=args.input_res,
+        input_w=args.input_res,
+    )
+
+    if args.mode == "metric":
+        from demo import load_detector
+
+        class _A:
+            pass
+
+        det_args = _A()
+        det_args.arch = args.arch
+        det_args.category = args.category
+        det_args.load_model = args.load_model
+        det_args.tracking = args.tracking
+        det_args.vis_thresh = 0.3
+        det_args.rep_mode = 1
+        detector = load_detector(det_args)
+
+        from centerpose_tpu.evaluation.evaluator import evaluate_dataset
+
+        evaluator = evaluate_dataset(
+            detector,
+            args.data_dir,
+            cfg,
+            max_images=args.max_images or None,
+            is_video=args.tracking,
+        )
+        report = evaluator.report()
+        print(report)
+        if args.report_file:
+            os.makedirs(os.path.dirname(args.report_file) or ".", exist_ok=True)
+            with open(args.report_file, "w") as f:
+                f.write(report + "\n")
+    else:
+        import jax
+        import numpy as np
+
+        from centerpose_tpu.data.dataset import ObjectPoseDataset, collate_filtered
+        from centerpose_tpu.models import create_model
+        from centerpose_tpu.training.trainer import create_train_state, make_eval_step
+        from centerpose_tpu.utils.checkpoint import load_checkpoint
+
+        model = create_model(cfg)
+        state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+        if args.load_model:
+            state, _ = load_checkpoint(args.load_model, state)
+        eval_fn = make_eval_step(cfg, model)
+        ds = ObjectPoseDataset(args.data_dir, cfg, split="val")
+        agg, n = {}, 0
+        buf = []
+        for i in range(len(ds)):
+            item = ds[i]
+            if item is None:
+                continue
+            item.pop("meta", None)
+            buf.append(item)
+            if len(buf) == 8:
+                batch = collate_filtered(buf)
+                stats = eval_fn(state, batch)
+                n += 1
+                for k, v in stats.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                buf = []
+        agg = {k: v / max(n, 1) for k, v in agg.items()}
+        print(" ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from centerpose_tpu.config import preset
+from centerpose_tpu.data.dataset import (
+    ObjectPoseDataset,
+    collate_filtered,
+    find_samples,
+    rotation_y_matrix,
+)
+
+
+@pytest.fixture
+def toy_dataset(tmp_path):
+    """Write two DOPE-style png+json frames (one video dir)."""
+    from PIL import Image
+
+    vid = tmp_path / "video_0"
+    vid.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(vid / f"{i:05d}.png")
+        kps = np.array(
+            [[320, 240]]
+            + [[320 + dx, 240 + dy] for dx in (-60, 60) for dy in (-40, 40)
+               for _ in (0,)][:8]
+        )
+        kps9 = np.vstack(
+            [[320, 240]] + [[320 + dx * 60, 240 + dy * 40] for dx in (-1, 1)
+                            for dy in (-1, 1)] * 2
+        )[:9]
+        ann = {
+            "camera_data": {
+                "width": 640,
+                "height": 480,
+                "camera_projection_matrix": np.eye(4).tolist(),
+                "intrinsics": {"fx": 600.0, "fy": 600.0, "cx": 320.0, "cy": 240.0},
+            },
+            "objects": [
+                {
+                    "name": "shoe_0",
+                    "location": [0.0, 0.0, 1.0],
+                    "quaternion_xyzw": [0.0, 0.0, 0.0, 1.0],
+                    "projected_cuboid": kps9.tolist(),
+                    "scale": [0.1, 0.1, 0.25],
+                    "keypoints_3d": (np.random.RandomState(1).rand(9, 3)).tolist(),
+                }
+            ],
+        }
+        with open(vid / f"{i:05d}.json", "w") as f:
+            json.dump(ann, f)
+    return str(tmp_path)
+
+
+class TestDiscovery:
+    def test_find_samples(self, toy_dataset):
+        samples = find_samples(toy_dataset)
+        assert len(samples) == 2
+        assert samples[0][1] == "video_0"
+        assert samples[0][2] == 0 and samples[1][2] == 1
+
+    def test_missing_json_skipped(self, tmp_path):
+        from PIL import Image
+
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / "a.png")
+        assert find_samples(str(tmp_path)) == []
+
+
+class TestDataset:
+    def test_getitem_structure(self, toy_dataset):
+        cfg = preset("centerpose", input_h=64, input_w=64, category="shoe")
+        ds = ObjectPoseDataset(toy_dataset, cfg, split="val")
+        item = ds[0]
+        assert item is not None
+        assert item["input"].shape == (64, 64, 3)
+        assert item["hm"].shape == (1, 16, 16, 1)  # [S, H, W, C]
+        assert item["ind"].shape == (1, cfg.max_objs)
+        # The object is centered -> a center gaussian must exist.
+        assert item["hm"].max() == pytest.approx(1.0)
+        assert item["reg_mask"].sum() >= 1
+
+    def test_train_augmentation_changes_sample(self, toy_dataset):
+        cfg = preset("centerpose", input_h=64, input_w=64)
+        ds = ObjectPoseDataset(toy_dataset, cfg, split="train", seed=7)
+        a = ds[0]
+        b = ds[0]  # new random aug draw
+        assert a is not None and b is not None
+        assert not np.allclose(a["input"], b["input"])
+
+    def test_symmetry_axis_present(self, toy_dataset):
+        cfg = preset("centerpose", input_h=64, input_w=64, category="bottle",
+                     num_symmetry=12)
+        ds = ObjectPoseDataset(toy_dataset, cfg, split="val")
+        item = ds[0]
+        assert item is not None
+        assert item["hm"].shape[0] == 12
+
+    def test_video_grouping(self, toy_dataset):
+        cfg = preset("centerpose", input_h=64, input_w=64)
+        ds = ObjectPoseDataset(toy_dataset, cfg)
+        assert list(ds.videos) == ["video_0"]
+        assert len(ds.videos["video_0"]) == 2
+
+    def test_collate_filters_none(self):
+        a = {"x": np.ones(2)}
+        out = collate_filtered([a, None, a])
+        assert out["x"].shape == (2, 2)
+        assert collate_filtered([None, None]) is None
+
+    def test_rotation_y_matrix(self):
+        m = rotation_y_matrix(np.pi / 2)
+        v = m[:3, :3] @ np.array([1.0, 0.0, 0.0])
+        np.testing.assert_allclose(v, [0, 0, -1], atol=1e-12)

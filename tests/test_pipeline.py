@@ -1,0 +1,77 @@
+"""End-to-end pipeline tests on tiny inputs (64x64) — slow-ish on CPU, kept minimal."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from centerpose_tpu.config import preset
+from centerpose_tpu.inference.detector import Detector
+from centerpose_tpu.inference.nms import soft_nms
+
+
+class TestSoftNMS:
+    def test_keeps_distinct_boxes(self):
+        boxes = np.array([[0, 0, 10, 10], [100, 100, 120, 120]], np.float64)
+        scores = np.array([0.9, 0.8])
+        keep = soft_nms(boxes, scores, threshold=0.3)
+        assert set(keep.tolist()) == {0, 1}
+
+    def test_suppresses_duplicate(self):
+        boxes = np.array([[0, 0, 10, 10], [0.5, 0.5, 10.5, 10.5]], np.float64)
+        scores = np.array([0.9, 0.8])
+        keep = soft_nms(boxes, scores, nt=0.5, method=2, threshold=0.5)
+        assert keep.tolist() == [0]
+
+    def test_greedy_order_by_score(self):
+        boxes = np.array(
+            [[0, 0, 10, 10], [50, 50, 60, 60], [100, 100, 110, 110]], np.float64
+        )
+        scores = np.array([0.5, 0.9, 0.7])
+        keep = soft_nms(boxes, scores, threshold=0.1)
+        assert keep.tolist() == [1, 2, 0]
+
+    def test_hard_nms_method0(self):
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], np.float64)
+        scores = np.array([0.9, 0.8])
+        keep = soft_nms(boxes, scores, nt=0.3, method=0, threshold=0.01)
+        assert keep.tolist() == [0]
+
+
+class TestDetectorE2E:
+    @pytest.fixture(scope="class")
+    def detector(self):
+        cfg = preset(
+            "centerpose", input_h=64, input_w=64, K=8, category="shoe",
+            vis_thresh=0.0,
+        )
+        return Detector(cfg)
+
+    def test_run_returns_structure(self, detector):
+        rng = np.random.RandomState(0)
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        out = detector.run(img)
+        assert set(out) >= {"results", "boxes", "meta", "times"}
+        for stage in ("pre", "net", "dec", "post", "merge", "pnp", "track", "tot"):
+            assert stage in out["times"]
+
+    def test_results_have_reference_fields(self, detector):
+        rng = np.random.RandomState(1)
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        out = detector.run(img)
+        if out["results"]:
+            det = out["results"][0]
+            for field in (
+                "score", "cls", "bbox", "ct", "kps", "obj_scale",
+                "kps_displacement_mean", "kps_heatmap_mean",
+            ):
+                assert field in det
+            assert len(det["kps"]) == 16
+            assert len(det["bbox"]) == 4
+
+    def test_pre_process_meta(self, detector):
+        img = np.zeros((100, 200, 3), np.uint8)
+        images, meta = detector.pre_process(img)
+        assert images.shape == (1, 64, 64, 3)
+        assert meta["s"] == 200.0
+        np.testing.assert_allclose(meta["c"], [100, 50])

@@ -1,0 +1,171 @@
+import numpy as np
+import pytest
+
+from centerpose_tpu.config import preset
+from centerpose_tpu.tracking.kalman import KeypointKalman
+from centerpose_tpu.tracking.tracker import Tracker, greedy_assignment
+
+
+def _det(ct, score=0.9, kps_offset=(0.0, 0.0), scale=(1.0, 1.0, 1.0), unc=(0.1, 0.1, 0.1)):
+    ct = np.asarray(ct, np.float64)
+    kps = (
+        ct[None, :]
+        + np.array(
+            [[-5, -5], [5, -5], [-5, 5], [5, 5], [-3, 0], [3, 0], [0, -3], [0, 3]],
+            np.float64,
+        )
+        + np.asarray(kps_offset)
+    )
+    return {
+        "score": score,
+        "cls": 0,
+        "ct": ct.tolist(),
+        "bbox": np.array([ct[0] - 10, ct[1] - 10, ct[0] + 10, ct[1] + 10]),
+        "tracking": np.zeros(2),
+        "tracking_hp": np.zeros(16),
+        "kps": kps.reshape(-1),
+        "kps_fusion_mean": kps.reshape(-1),
+        "kps_fusion_std": np.full(16, 2.0),
+        "obj_scale": np.asarray(scale, np.float64),
+        "obj_scale_uncertainty": np.asarray(unc, np.float64),
+    }
+
+
+class TestKalman:
+    def test_init_state(self):
+        kps = np.arange(16, dtype=np.float64)
+        thp = np.full(16, 0.5)
+        kf = KeypointKalman.init(kps, np.full(16, 2.0), thp, r_velocity=20.0)
+        assert kf.x.shape == (8, 4)
+        np.testing.assert_allclose(kf.x[0], [0.0, 1.0, -0.5, -0.5])
+        np.testing.assert_allclose(kf.p[0].diagonal(), [4.0, 4.0, 20.0, 20.0])
+
+    def test_predict_applies_velocity(self):
+        kps = np.zeros(16)
+        thp = np.full(16, -1.0)  # velocity +1 per axis
+        kf = KeypointKalman.init(kps, np.ones(16), thp)
+        kf.predict()
+        np.testing.assert_allclose(kf.x[:, 0], 1.0)
+        np.testing.assert_allclose(kf.x[:, 1], 1.0)
+
+    def test_update_pulls_towards_measurement(self):
+        kf = KeypointKalman.init(np.zeros(16), np.ones(16), np.zeros(16))
+        kf.predict()
+        kf.update(np.full(16, 4.0), np.ones(16), np.zeros(16))
+        assert np.all(kf.x[:, 0] > 1.0)  # moved towards 4
+        assert np.all(kf.x[:, 0] < 4.0)
+
+    def test_covariance_shrinks_with_updates(self):
+        kf = KeypointKalman.init(np.zeros(16), np.full(16, 3.0), np.zeros(16))
+        p0 = kf.p[0, 0, 0]
+        for _ in range(5):
+            kf.predict()
+            kf.update(np.zeros(16), np.full(16, 3.0), np.zeros(16))
+        assert kf.p[0, 0, 0] < p0 + 1.0  # bounded despite Q=I growth
+
+    def test_confidence_monotone_in_std(self):
+        kf = KeypointKalman.init(np.zeros(16), np.full(16, 0.5), np.zeros(16))
+        c_low_std = kf.confidence((3.0, 9.0))
+        kf2 = KeypointKalman.init(np.zeros(16), np.full(16, 10.0), np.zeros(16))
+        c_high_std = kf2.confidence((3.0, 9.0))
+        assert np.all(c_low_std >= c_high_std)
+        assert np.all((0 <= c_low_std) & (c_low_std <= 1))
+
+
+class TestGreedyAssignment:
+    def test_matches_lowest(self):
+        dist = np.array([[1.0, 100.0], [100.0, 2.0]])
+        m = greedy_assignment(dist)
+        assert {(0, 0), (1, 1)} == {tuple(r) for r in m}
+
+    def test_gate(self):
+        dist = np.array([[1e18, 1e18]])
+        m = greedy_assignment(dist)
+        assert m.shape == (0, 2)
+
+
+class TestTracker:
+    def _cfg(self):
+        return preset("centerpose_track", category="shoe").replace(max_age=3)
+
+    def test_new_track_spawn_and_id(self):
+        tr = Tracker(self._cfg())
+        tr.meta = {"camera_matrix": np.eye(3), "width": 640, "height": 480}
+        ret, _ = tr.step([_det([100, 100])], [])
+        assert len(ret) == 1
+        assert ret[0]["tracking_id"] == 1
+        assert "kf" in ret[0]
+
+    def test_association_keeps_id(self):
+        tr = Tracker(self._cfg())
+        tr.meta = {"camera_matrix": np.eye(3), "width": 640, "height": 480}
+        tr.step([_det([100, 100])], [])
+        ret, _ = tr.step([_det([102, 101])], [])
+        assert len(ret) == 1
+        assert ret[0]["tracking_id"] == 1
+        assert ret[0]["active"] == 2
+
+    def test_low_score_not_spawned(self):
+        tr = Tracker(self._cfg())
+        tr.meta = {"camera_matrix": np.eye(3), "width": 640, "height": 480}
+        ret, _ = tr.step([_det([100, 100], score=0.1)], [])
+        assert len(ret) == 0
+
+    def test_unmatched_track_ages_out(self):
+        cfg = self._cfg()
+        tr = Tracker(cfg)
+        tr.meta = {"camera_matrix": np.eye(3), "width": 640, "height": 480}
+        tr.step([_det([100, 100])], [])
+        for _ in range(cfg.max_age - 1):
+            ret, _ = tr.step([], [])
+            assert len(ret) == 1  # survives, aging
+        ret, _ = tr.step([], [])
+        assert len(ret) == 0  # aged out
+
+    def test_distinct_objects_two_ids(self):
+        tr = Tracker(self._cfg())
+        tr.meta = {"camera_matrix": np.eye(3), "width": 640, "height": 480}
+        ret, _ = tr.step([_det([50, 50]), _det([300, 300])], [])
+        assert sorted(t["tracking_id"] for t in ret) == [1, 2]
+
+    def test_scale_pool_fusion(self):
+        tr = Tracker(self._cfg())
+        tr.meta = {"camera_matrix": np.eye(3), "width": 640, "height": 480}
+        tr.step([_det([100, 100], scale=(1.0, 1.0, 1.0), unc=(0.1, 0.1, 0.1))], [])
+        ret, _ = tr.step(
+            [_det([100, 100], scale=(2.0, 2.0, 2.0), unc=(0.1, 0.1, 0.1))], []
+        )
+        # Equal precision -> pooled mean == average of 1 and 2.
+        np.testing.assert_allclose(ret[0]["obj_scale_kf"], 1.5, atol=1e-6)
+        assert np.all(ret[0]["obj_scale_uncertainty_kf"] < 0.1)
+
+
+class TestRender:
+    def test_render_previous_heatmaps(self):
+        cfg = preset("centerpose_track", input_h=64, input_w=64)
+        meta = {
+            "c": np.array([320.0, 240.0]),
+            "s": 640.0,
+            "width": 640,
+            "height": 480,
+        }
+        from centerpose_tpu.tracking.render import render_previous_heatmaps
+
+        det = _det([320, 240])
+        pre_hm, pre_hm_hp = render_previous_heatmaps([det], meta, cfg)
+        assert pre_hm.shape == (1, 64, 64, 1)
+        assert pre_hm_hp.shape == (1, 64, 64, 8)
+        hm = np.asarray(pre_hm)[0, :, :, 0]
+        # Center gaussian with amplitude = score at the image center.
+        assert hm.max() == pytest.approx(0.9, abs=0.05)
+        iy, ix = np.unravel_index(hm.argmax(), hm.shape)
+        assert abs(ix - 32) <= 2 and abs(iy - 32) <= 4
+
+    def test_render_empty_tracks(self):
+        cfg = preset("centerpose_track", input_h=64, input_w=64)
+        meta = {"c": np.array([32.0, 32.0]), "s": 64.0, "width": 64, "height": 64}
+        from centerpose_tpu.tracking.render import render_previous_heatmaps
+
+        pre_hm, pre_hm_hp = render_previous_heatmaps([], meta, cfg)
+        assert float(np.asarray(pre_hm).max()) == 0.0
+        assert float(np.asarray(pre_hm_hp).max()) == 0.0

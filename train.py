@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Training entry point (CenterPose & CenterPoseTrack).
+
+Parity target: src/main_CenterPose.py:25-191 and src/main_CenterPoseTrack.py:118-242
+— seed, model+Adam, optional resume, epoch loop with periodic validation,
+best/last/periodic checkpoints, LR ÷10 at lr_step epochs (expressed through the
+optax schedule as a function of the global step).
+
+TPU-native: ONE jitted train step over a 1-D `data` mesh (params replicated, batch
+sharded); the host side only feeds numpy batches.
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="centerpose_tpu training")
+    p.add_argument("--data_dir", required=True, help="root of png+json training data")
+    p.add_argument("--val_dir", default="", help="validation data root")
+    p.add_argument("--exp_id", default="default")
+    p.add_argument("--c", dest="category", default="shoe")
+    p.add_argument("--arch", default="dlav1_34")
+    p.add_argument("--tracking_task", action="store_true")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1.25e-4)
+    p.add_argument("--num_epochs", type=int, default=0, help="0 = preset default")
+    p.add_argument("--val_intervals", type=int, default=5)
+    p.add_argument("--save_intervals", type=int, default=10)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=317)
+    p.add_argument("--num_devices", type=int, default=0, help="0 = all")
+    p.add_argument("--input_res", type=int, default=512)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    np.random.seed(args.seed)
+
+    import jax
+
+    from centerpose_tpu.config import preset
+    from centerpose_tpu.data.dataset import ObjectPoseDataset, collate_filtered
+    from centerpose_tpu.models import create_model
+    from centerpose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from centerpose_tpu.training.trainer import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from centerpose_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from centerpose_tpu.utils.logger import Logger
+
+    name = "centerpose_track" if args.tracking_task else "centerpose"
+    cfg = preset(
+        name,
+        category=args.category,
+        arch=args.arch if not args.tracking_task else "dla_34",
+        batch_size=args.batch_size,
+        lr=args.lr,
+        input_h=args.input_res,
+        input_w=args.input_res,
+        seed=args.seed,
+    )
+    if args.num_epochs:
+        cfg = cfg.replace(num_epochs=args.num_epochs)
+
+    exp_dir = os.path.join("exp", cfg.arch, args.exp_id)
+    logger = Logger(exp_dir, cfg)
+
+    train_ds = ObjectPoseDataset(args.data_dir, cfg, split="train")
+    val_ds = ObjectPoseDataset(args.val_dir or args.data_dir, cfg, split="val")
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    logger.write(f"train {len(train_ds)} samples, {steps_per_epoch} steps/epoch")
+
+    model = create_model(cfg)
+    state, tx = create_train_state(
+        cfg, model, jax.random.PRNGKey(cfg.seed), steps_per_epoch
+    )
+    start_epoch = 0
+    ckpt_dir = os.path.join(exp_dir, "ckpt")
+    if args.resume:
+        state, step = load_checkpoint(ckpt_dir, state)
+        start_epoch = step // steps_per_epoch
+        logger.write(f"resumed from step {step} (epoch {start_epoch})")
+
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = make_mesh(n_dev)
+    step_fn = make_train_step(cfg, model, tx, mesh=mesh)
+    eval_fn = make_eval_step(cfg, model)
+    state = replicate(mesh, state)
+
+    def batches(ds, batch_size, shuffle):
+        order = np.random.permutation(len(ds)) if shuffle else np.arange(len(ds))
+        buf = []
+        for i in order:
+            item = ds[int(i)]
+            if item is None:
+                continue
+            item.pop("meta", None)
+            buf.append(item)
+            if len(buf) == batch_size:
+                yield collate_filtered(buf)
+                buf = []
+
+    best = float("inf")
+    for epoch in range(start_epoch + 1, cfg.num_epochs + 1):
+        t0 = time.time()
+        agg = {}
+        n_steps = 0
+        for batch in batches(train_ds, cfg.batch_size, True):
+            if batch is None:
+                continue
+            batch = shard_batch(mesh, batch)
+            state, stats = step_fn(state, batch)
+            n_steps += 1
+            for k, v in stats.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
+        logger.scalars(epoch, agg, prefix="train_")
+        logger.write(
+            f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
+            + f" ({time.time()-t0:.1f}s)"
+        )
+
+        if args.val_intervals > 0 and epoch % args.val_intervals == 0:
+            vagg, vn = {}, 0
+            for batch in batches(val_ds, cfg.batch_size, False):
+                if batch is None:
+                    continue
+                stats = eval_fn(state, {k: np.asarray(v) for k, v in batch.items()})
+                vn += 1
+                for k, v in stats.items():
+                    vagg[k] = vagg.get(k, 0.0) + float(v)
+            vagg = {k: v / max(vn, 1) for k, v in vagg.items()}
+            logger.scalars(epoch, vagg, prefix="val_")
+            logger.write(f"val {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in vagg.items()))
+            if vagg.get("loss", float("inf")) < best:
+                best = vagg["loss"]
+                save_checkpoint(os.path.join(exp_dir, "best"), state, int(state.step))
+
+        save_checkpoint(ckpt_dir, state, int(state.step))
+        if args.save_intervals > 0 and epoch % args.save_intervals == 0:
+            save_checkpoint(
+                os.path.join(exp_dir, f"epoch_{epoch}"), state, int(state.step)
+            )
+
+    logger.write("training done")
+
+
+if __name__ == "__main__":
+    main()
