@@ -42,16 +42,19 @@ def main():
         rng.randn(batch, cfg.input_h, cfg.input_w, 3).astype(np.float32)
     )
 
-    # Warmup / compile.
+    # Warmup / compile. Force a host transfer — on the experimental axon platform
+    # block_until_ready may return before execution completes.
     out = step(variables, images)
-    jax.block_until_ready(out)
+    float(jax.device_get(out["scores"]).sum())
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
+    checksum = 0.0
     for _ in range(iters):
         out = step(variables, images)
-    jax.block_until_ready(out)
+        checksum += float(jax.device_get(out["scores"])[0, 0, 0])
     dt = time.perf_counter() - t0
+    assert checksum == checksum  # NaN guard
 
     ips = batch * iters / dt
     print(

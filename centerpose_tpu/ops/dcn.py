@@ -53,7 +53,10 @@ def _bilinear_gather(x_flat, py, px, h: int, w: int):
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         idx = yc * w + xc  # [B, N]
-        vals = jnp.take_along_axis(x_flat, idx[..., None], axis=1)
+        # Row-slice gather: advanced indexing lowers to lax.gather with a full-C
+        # slice per index (one [1, C] slice per sample). take_along_axis with a
+        # broadcast trailing dim degrades to per-ELEMENT gathers on TPU.
+        vals = jax.vmap(lambda xf, ix: xf[ix])(x_flat, idx)
         return vals * (wgt * valid.astype(x_flat.dtype))[..., None]
 
     out = corner(y0, x0, (1 - fy) * (1 - fx))
@@ -63,7 +66,57 @@ def _bilinear_gather(x_flat, py, px, h: int, w: int):
     return out
 
 
-@partial(jax.jit, static_argnames=("stride", "padding", "dilation"))
+def _bilinear_gather_packed(x, py, px, h: int, w: int):
+    """Bilinear sample via ONE row gather per sample from a corner-packed map.
+
+    TPU gathers are row-latency-bound: four separate [1, C] corner gathers per
+    sample run ~4x slower than one [1, 4C] gather. We zero-pad x by one pixel on
+    every side and pack each position's 2x2 corner block into the channel dim:
+      packed[y, x] = [x[y-1,x-1], x[y-1,x], x[y,x-1], x[y,x]]  (padded coords)
+    so corner (y0, x0) of a sample lives in packed[y0+1, x0+1] lane-block 0.
+
+    Returns [B, N, C].
+    """
+    b = x.shape[0]
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # [B, H+2, W+2, C]
+    # corner blocks at packed position (i, j) = corners (i-1..i, j-1..j) of x:
+    # take the 2x2 window whose top-left is (i, j) in padded coords.
+    p00 = xp[:, : h + 1, : w + 1]
+    p01 = xp[:, : h + 1, 1:]
+    p10 = xp[:, 1:, : w + 1]
+    p11 = xp[:, 1:, 1:]
+    packed = jnp.concatenate([p00, p01, p10, p11], axis=-1)  # [B, H+1, W+1, 4C]
+    hp, wp = h + 1, w + 1
+    packed = packed.reshape(b, hp * wp, 4 * c)
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    fy = (py - y0)[..., None]
+    fx = (px - x0)[..., None]
+    yi = y0.astype(jnp.int32)
+    xi = x0.astype(jnp.int32)
+    yc = jnp.clip(yi + 1, 0, hp - 1)
+    xc = jnp.clip(xi + 1, 0, wp - 1)
+    # Samples whose BOTH corners are out of range contribute 0 (the ±1 border
+    # cases are handled by the zero padding; only fully-out must be masked).
+    far = (yi < -1) | (yi >= h) | (xi < -1) | (xi >= w)
+    idx = yc * wp + xc
+
+    rows = jax.vmap(lambda xf, ix: xf[ix])(packed, idx)  # [B, N, 4C]
+    v00, v01, v10, v11 = jnp.split(rows, 4, axis=-1)
+    out = (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+    return jnp.where(far[..., None], 0.0, out)
+
+
+@partial(
+    jax.jit, static_argnames=("stride", "padding", "dilation", "packed_gather")
+)
 def dcn_v2(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -74,6 +127,7 @@ def dcn_v2(
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
+    packed_gather: bool = True,
 ) -> jnp.ndarray:
     """Modulated deformable conv v2 forward.
 
@@ -104,8 +158,10 @@ def dcn_v2(
     py = (base_y + off[..., 0]).reshape(b, ho * wo * kk)
     px = (base_x + off[..., 1]).reshape(b, ho * wo * kk)
 
-    x_flat = x.reshape(b, h * w, c)
-    samples = _bilinear_gather(x_flat, py, px, h, w)  # [B, N*kk, C]
+    if packed_gather:
+        samples = _bilinear_gather_packed(x, py, px, h, w)  # [B, N*kk, C]
+    else:
+        samples = _bilinear_gather(x.reshape(b, h * w, c), py, px, h, w)
     samples = samples.reshape(b, ho * wo, kk, c)
     samples = samples * mask.reshape(b, ho * wo, kk, 1).astype(dtype)
 

@@ -86,10 +86,13 @@ def topk_channel(scores: jnp.ndarray, k: int):
 
 
 def gather_feat(feat: jnp.ndarray, ind: jnp.ndarray) -> jnp.ndarray:
-    """Gather [B, H, W, C] at flattened-spatial indices [B, K] → [B, K, C]."""
+    """Gather [B, H, W, C] at flattened-spatial indices [B, K] → [B, K, C].
+
+    Row-slice gather (full-C slices per index) — the TPU-fast lowering.
+    """
     b, h, w, c = feat.shape
     flat = feat.reshape(b, h * w, c)
-    return jnp.take_along_axis(flat, ind[..., None].astype(jnp.int32), axis=1)
+    return jax.vmap(lambda xf, ix: xf[ix])(flat, ind.astype(jnp.int32))
 
 
 def _batched_gaussian_moments(windows: jnp.ndarray):

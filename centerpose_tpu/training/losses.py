@@ -66,12 +66,15 @@ def focal_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_by_ind(feat_map: jnp.ndarray, ind: jnp.ndarray) -> jnp.ndarray:
-    """Gather NHWC map at flattened indices: feat [B,H,W,D], ind [B,S,M] → [B,S,M,D]."""
+    """Gather NHWC map at flattened indices: feat [B,H,W,D], ind [B,S,M] → [B,S,M,D].
+
+    Row-slice gather (full-D slices per index) — the TPU-fast lowering.
+    """
     b, h, w, d = feat_map.shape
     s, m = ind.shape[1], ind.shape[2]
     flat = feat_map.reshape(b, h * w, d)
-    idx = ind.reshape(b, s * m, 1).astype(jnp.int32)
-    out = jnp.take_along_axis(flat, jnp.broadcast_to(idx, (b, s * m, d)), axis=1)
+    idx = ind.reshape(b, s * m).astype(jnp.int32)
+    out = jax.vmap(lambda xf, ix: xf[ix])(flat, idx)
     return out.reshape(b, s, m, d)
 
 

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Batch evaluation driver — sweep categories × eval modes.
+
+Parity target: the reference's shell drivers (src/tools/objectron_eval/
+shell_eval_image_CenterPose.py, shell_eval_video_CenterPose.py,
+shell_eval_video_CenterPoseTrack.py:8-87): subprocess sweeps over the 9 categories
+and predefined ablation modes; symmetric categories get --eval_num_symmetry 100.
+
+Modes (MODE_0..MODE_5 subset of the reference's 9):
+  0 baseline               3 no Kalman filter
+  1 refined Kalman         4 no scale pool
+  2 no filters             5 empty previous heatmaps (tracking null test)
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+CATEGORIES = (
+    "bike", "book", "bottle", "camera", "cereal_box", "chair", "cup", "laptop",
+    "shoe",
+)
+SYMMETRIC = ("bottle", "cup")
+
+MODES = {
+    0: [],
+    1: ["--refined_kalman"],
+    2: ["--no_kalman", "--no_scale_pool"],
+    3: ["--no_kalman"],
+    4: ["--no_scale_pool"],
+    5: ["--empty_pre_hm"],
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", required=True, help="root containing <category>/ dirs")
+    p.add_argument("--model_root", default="", help="root containing <category> checkpoints")
+    p.add_argument("--categories", nargs="*", default=list(CATEGORIES))
+    p.add_argument("--modes", nargs="*", type=int, default=[0])
+    p.add_argument("--tracking", action="store_true")
+    p.add_argument("--report_dir", default="reports")
+    p.add_argument("--max_images", type=int, default=0)
+    args = p.parse_args()
+
+    os.makedirs(args.report_dir, exist_ok=True)
+    for cat in args.categories:
+        for mode in args.modes:
+            cmd = [
+                sys.executable, "evaluate.py",
+                "--mode", "metric",
+                "--data_dir", os.path.join(args.data_root, cat),
+                "--c", cat,
+                "--report_file",
+                os.path.join(args.report_dir, f"{cat}_mode{mode}.txt"),
+            ]
+            if args.model_root:
+                cmd += ["--load_model", os.path.join(args.model_root, cat)]
+            if args.tracking:
+                cmd += ["--tracking"]
+            if cat in SYMMETRIC:
+                cmd += ["--eval_num_symmetry", "100"]
+            if args.max_images:
+                cmd += ["--max_images", str(args.max_images)]
+            cmd += MODES.get(mode, [])
+            print("RUN", " ".join(cmd))
+            subprocess.run(cmd, check=False)
+
+
+if __name__ == "__main__":
+    main()
