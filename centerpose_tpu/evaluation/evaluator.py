@@ -246,6 +246,67 @@ class Evaluator:
         return "\n".join(lines)
 
 
+def evaluate_tfrecords(
+    detector,
+    record_paths: Sequence[str],
+    config: CenterPoseConfig,
+    max_images: Optional[int] = None,
+    is_video: bool = False,
+) -> Evaluator:
+    """Objectron tfrecord evaluation path (eval_image_official.py:1186-1211 /
+    eval_video_official.py Dataloader), using the native TFRecord reader
+    (centerpose_tpu/data/tfrecord.py) instead of tf.data."""
+    import io
+
+    from PIL import Image
+
+    from centerpose_tpu.data.tfrecord import parse_objectron_example, read_tfrecord
+
+    evaluator = Evaluator(config)
+    count = 0
+    for ridx, path in enumerate(record_paths):
+        if is_video:
+            detector.reset_tracking()
+        for fidx, payload in enumerate(read_tfrecord(path)):
+            if max_images and count >= max_images:
+                return evaluator
+            ex = parse_objectron_example(payload)
+            if "image_bytes" not in ex or ex.get("num_instances", 0) == 0:
+                continue
+            img = np.asarray(Image.open(io.BytesIO(ex["image_bytes"])).convert("RGB"))
+            h, w = img.shape[:2]
+
+            instances = []
+            vis = ex.get("visibilities", np.ones(ex["num_instances"]))
+            for i in range(ex["num_instances"]):
+                kps2d = np.asarray(ex["points_2d"][i], np.float64)[:9]
+                instances.append(
+                    GroundTruthInstance(
+                        kps_2d_norm=kps2d,
+                        kps_3d_cam=np.asarray(ex["points_3d"][i], np.float64)[:9],
+                        scale=np.abs(np.asarray(ex["scales"][i], np.float64)),
+                        rotation=np.asarray(ex["rotations"][i], np.float64),
+                        translation=np.asarray(ex["translations"][i], np.float64),
+                        visibility=float(vis[i]) if i < len(vis) else 1.0,
+                    )
+                )
+            input_meta = {}
+            if "intrinsics" in ex:
+                # Objectron intrinsics are stored transposed relative to image
+                # x/y (data/utils.py:115-121 swaps fx/fy, cx/cy).
+                k = np.asarray(ex["intrinsics"])
+                input_meta["camera_matrix"] = np.array(
+                    [[k[1, 1], 0, k[1, 2]], [0, k[0, 0], k[0, 2]], [0, 0, 1]]
+                )
+            out = detector.run(img, input_meta or None)
+            evaluator.evaluate_image(
+                out["boxes"], instances, ex.get("plane"),
+                fidx if is_video else None,
+            )
+            count += 1
+    return evaluator
+
+
 def evaluate_dataset(
     detector,
     data_root: str,

@@ -82,11 +82,17 @@ class Detector:
             from centerpose_tpu.tracking.tracker import Tracker
 
             self.tracker = Tracker(config)
+        elif config.refined_kalman:
+            # CenterPose + KF baseline (base_detector.py:664-665).
+            from centerpose_tpu.tracking.tracker_baseline import TrackerBaseline
+
+            self.tracker = TrackerBaseline(config)
 
     # ------------------------------------------------------------------ net+dec
     def _build_forward(self):
         cfg = self.cfg
-        fit = cfg.tracking_task or cfg.rep_mode == 2
+        # decode.py:222: gaussian fitting runs for tracking / refined-KF / rep 2.
+        fit = cfg.tracking_task or cfg.refined_kalman or cfg.rep_mode == 2
 
         @jax.jit
         def forward_decode(variables, images, pre_img=None, pre_hm=None, pre_hm_hp=None):
@@ -330,7 +336,7 @@ class Detector:
         t4 = time.time()
         times["merge"] = t4 - t3
 
-        if cfg.tracking_task:
+        if cfg.tracking_task or cfg.refined_kalman:
             for det in results:
                 self.gaussian_fusion(det)
 
@@ -340,7 +346,8 @@ class Detector:
 
         if self.tracker is not None:
             results, boxes = self.tracker.step(results, boxes, meta)
-            self.pre_images = images_j
+            if cfg.tracking_task:
+                self.pre_images = images_j
         t6 = time.time()
         times["track"] = t6 - t5
         times["tot"] = t6 - t0

@@ -27,4 +27,13 @@ def create_model(config: CenterPoseConfig) -> nn.Module:
 
         num_layers = int(arch.split("_")[1])
         return PoseResNet(config, num_layers=num_layers)
+    if name == "resdcn":
+        from centerpose_tpu.models.resnet import PoseResNet
+
+        num_layers = int(arch.split("_")[1])
+        return PoseResNet(config, num_layers=num_layers, deformable_deconv=True)
+    if name == "hourglass":
+        from centerpose_tpu.models.hourglass import HourglassNet
+
+        return HourglassNet(config)
     raise ValueError(f"unknown arch: {arch!r}")

@@ -82,6 +82,32 @@ class KeypointKalman:
         # Joseph form, as filterpy does.
         self.p = i_kh @ self.p @ i_kh.transpose(0, 2, 1) + k @ r @ k.transpose(0, 2, 1)
 
+    def update_positions(self, kps_mean: np.ndarray, kps_std: np.ndarray) -> None:
+        """Position-only update (H observes x, y) — the CenterPose+KF baseline
+        tracker's dim_z=16 filter (tracker_baseline.py:55-77)."""
+        j = self.x.shape[0]
+        z = np.zeros((j, 2))
+        z[:, 0] = kps_mean[0::2]
+        z[:, 1] = kps_mean[1::2]
+        r = np.zeros((j, 2, 2))
+        r[:, 0, 0] = kps_std[0::2] ** 2
+        r[:, 1, 1] = kps_std[1::2] ** 2
+
+        hmat = np.zeros((2, 4))
+        hmat[0, 0] = hmat[1, 1] = 1.0
+        s = hmat @ self.p @ hmat.T + r  # [J, 2, 2]
+        k = self.p @ hmat.T @ np.linalg.inv(s)  # [J, 4, 2]
+        innov = z - self.x[:, :2]
+        self.x = self.x + (k @ innov[..., None])[..., 0]
+        i_kh = _I4 - k @ hmat
+        self.p = i_kh @ self.p @ i_kh.transpose(0, 2, 1) + k @ r @ k.transpose(0, 2, 1)
+
+    @property
+    def mean_velocity(self) -> np.ndarray:
+        """[2] mean (vx, vy) across keypoints — used by the baseline tracker to
+        predict the association center (tracker_baseline.py:134-140)."""
+        return self.x[:, 2:].mean(axis=0)
+
     # -------------------------------------------------------------- accessors
     @property
     def positions(self) -> np.ndarray:

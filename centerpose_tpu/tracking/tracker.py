@@ -83,17 +83,32 @@ class Tracker:
                     bbox = item["bbox"]
                     item["ct"] = [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2]
                 if self.cfg.use_kalman and "kps_fusion_mean" in item:
-                    item["kf"] = KeypointKalman.init(
-                        np.asarray(item["kps_fusion_mean"]),
-                        np.asarray(item["kps_fusion_std"]),
-                        np.asarray(item["tracking_hp"]),
-                        self.cfg.kf_r_velocity,
-                    )
+                    item["kf"] = self._kf_init(item)
                 if self.cfg.use_scale_pool:
                     item["scale_pool"] = [
                         (item["obj_scale"], item["obj_scale_uncertainty"])
                     ]
                 self.tracks.append(item)
+
+
+    # --- overridable filter hooks (TrackerBaseline swaps these) ----------------
+    def _kf_init(self, det: dict) -> KeypointKalman:
+        return KeypointKalman.init(
+            np.asarray(det["kps_fusion_mean"]),
+            np.asarray(det["kps_fusion_std"]),
+            np.asarray(det["tracking_hp"]),
+            self.cfg.kf_r_velocity,
+        )
+
+    def _kf_update(self, kf: KeypointKalman, det: dict) -> None:
+        kf.update(
+            np.asarray(det["kps_fusion_mean"]),
+            np.asarray(det["kps_fusion_std"]),
+            np.asarray(det["tracking_hp"]),
+        )
+
+    def _pool(self, scale_pool):
+        return _pool_scale(scale_pool)
 
     # ------------------------------------------------------------------ step
     def step(self, dets: List[dict], boxes: List[tuple], meta: Optional[dict] = None):
@@ -179,11 +194,7 @@ class Tracker:
             if cfg.use_kalman and "kf" in prev:
                 track["kf"] = prev["kf"]
                 track["kf"].predict()
-                track["kf"].update(
-                    np.asarray(track["kps_fusion_mean"]),
-                    np.asarray(track["kps_fusion_std"]),
-                    np.asarray(track["tracking_hp"]),
-                )
+                self._kf_update(track["kf"], track)
             if cfg.use_scale_pool:
                 track["scale_pool"] = prev["scale_pool"]
                 track["scale_pool"].append(
@@ -200,12 +211,7 @@ class Tracker:
                 track["age"] = 1
                 track["active"] = 1
                 if cfg.use_kalman and "kps_fusion_mean" in track:
-                    track["kf"] = KeypointKalman.init(
-                        np.asarray(track["kps_fusion_mean"]),
-                        np.asarray(track["kps_fusion_std"]),
-                        np.asarray(track["tracking_hp"]),
-                        cfg.kf_r_velocity,
-                    )
+                    track["kf"] = self._kf_init(track)
                 if cfg.use_scale_pool:
                     track["scale_pool"] = [
                         (track["obj_scale"], track["obj_scale_uncertainty"])
@@ -240,7 +246,7 @@ class Tracker:
 
             scale_new = np.asarray(track["obj_scale"])
             if cfg.use_scale_pool and "scale_pool" in track:
-                mean, std = _pool_scale(track["scale_pool"])
+                mean, std = self._pool(track["scale_pool"])
                 track["obj_scale_kf"] = mean
                 track["obj_scale_uncertainty_kf"] = std
                 scale_new = mean
