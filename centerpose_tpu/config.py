@@ -111,6 +111,10 @@ class CenterPoseConfig:
     # --- system -------------------------------------------------------------------
     compute_dtype: str = "float32"    # bfloat16 for production inference
     param_dtype: str = "float32"
+    # DCN sampling implementation: 'gather' (exact, default) or 'windowed'
+    # (shifted-FMA, exact for |offset| <= dcn_window_radius; see ops/dcn_pallas.py).
+    dcn_impl: str = "gather"
+    dcn_window_radius: int = 4
 
     # ------------------------------------------------------------------------------
     @property

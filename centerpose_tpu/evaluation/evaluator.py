@@ -222,6 +222,33 @@ class Evaluator:
                     scores.append(box_iou_3d(entries[i][1], entries[j][1]))
         return float(np.mean(scores)) if scores else 0.0
 
+    # ------------------------------------------------------------ persistence
+    def save_stats(self, path: str):
+        """Dump raw (hit, conf) records + num_gt for offline re-aggregation —
+        the per-video `stats_save` files consumed by group_report_new.py."""
+        import json as _json
+
+        payload = {
+            "num_gt": self.num_gt,
+            "num_pred": self.num_pred,
+            "records": {f: self.hm[f].records for f in _FAMILIES},
+        }
+        with open(path, "w") as f:
+            _json.dump(payload, f)
+
+    def load_and_merge(self, path: str):
+        """Merge another shard's raw stats (group_report_new.py re-accumulation:
+        global AP is recomputed from the union of confidence-ranked records)."""
+        import json as _json
+
+        with open(path) as f:
+            payload = _json.load(f)
+        self.num_gt += payload["num_gt"]
+        self.num_pred += payload["num_pred"]
+        for fam in _FAMILIES:
+            for i, recs in enumerate(payload["records"][fam]):
+                self.hm[fam].records[i].extend(tuple(r) for r in recs)
+
     def compute_aps(self) -> Dict[str, np.ndarray]:
         ap = AveragePrecision(num_gt=self.num_gt)
         return {f: ap.compute(self.hm[f]).copy() for f in _FAMILIES}

@@ -72,6 +72,8 @@ class CenterPoseNet(nn.Module):
             channels[FIRST_LEVEL:],
             deformable=self.deformable,
             dtype=dtype,
+            dcn_impl=cfg.dcn_impl,
+            dcn_window_radius=cfg.dcn_window_radius,
             name="dla_up",
         )(levels[FIRST_LEVEL:], train=train)
 
@@ -80,6 +82,8 @@ class CenterPoseNet(nn.Module):
             [2 ** i for i in range(LAST_LEVEL - FIRST_LEVEL)],
             deformable=self.deformable,
             dtype=dtype,
+            dcn_impl=cfg.dcn_impl,
+            dcn_window_radius=cfg.dcn_window_radius,
             name="ida_up",
         )(pyramid[: LAST_LEVEL - FIRST_LEVEL], train=train)[-1]
 

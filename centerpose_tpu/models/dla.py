@@ -134,11 +134,16 @@ class _ProjUpNode(nn.Module):
     factor: int
     deformable: bool = True
     dtype: jnp.dtype = jnp.float32
+    dcn_impl: str = "gather"
+    dcn_window_radius: int = 4
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         if self.deformable:
-            x = DeformConvBlock(self.features, dtype=self.dtype, name="proj")(x, train)
+            x = DeformConvBlock(
+                self.features, dtype=self.dtype, dcn_impl=self.dcn_impl,
+                dcn_window_radius=self.dcn_window_radius, name="proj",
+            )(x, train)
         else:
             x = ConvBN(self.features, 1, relu=True, dtype=self.dtype, name="proj")(
                 x, train
@@ -146,9 +151,10 @@ class _ProjUpNode(nn.Module):
         if self.factor > 1:
             x = UpsampleConv(self.factor, dtype=self.dtype, name="up")(x)
         if self.deformable:
-            x = DeformConvBlock(self.features, dtype=self.dtype, name="node")(
-                x + skip, train
-            )
+            x = DeformConvBlock(
+                self.features, dtype=self.dtype, dcn_impl=self.dcn_impl,
+                dcn_window_radius=self.dcn_window_radius, name="node",
+            )(x + skip, train)
         else:
             x = ConvBN(self.features, 3, relu=True, dtype=self.dtype, name="node")(
                 x + skip, train
@@ -169,6 +175,8 @@ class IDAUp(nn.Module):
     up_factors: Sequence[int]  # per level, factor to reach the shallowest stride
     deformable: bool = True
     dtype: jnp.dtype = jnp.float32
+    dcn_impl: str = "gather"
+    dcn_window_radius: int = 4
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
@@ -179,6 +187,8 @@ class IDAUp(nn.Module):
                 int(self.up_factors[i]),
                 deformable=self.deformable,
                 dtype=self.dtype,
+                dcn_impl=self.dcn_impl,
+                dcn_window_radius=self.dcn_window_radius,
                 name=f"stage_{i}",
             )(layers[i], out[i - 1], train)
             out.append(merged)
@@ -195,6 +205,8 @@ class DLAUp(nn.Module):
     channels: Sequence[int]  # channels[first_level:], e.g. (64, 128, 256, 512)
     deformable: bool = True
     dtype: jnp.dtype = jnp.float32
+    dcn_impl: str = "gather"
+    dcn_window_radius: int = 4
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
@@ -210,6 +222,8 @@ class DLAUp(nn.Module):
                 (scales[j:] // scales[j]).tolist(),
                 deformable=self.deformable,
                 dtype=self.dtype,
+                dcn_impl=self.dcn_impl,
+                dcn_window_radius=self.dcn_window_radius,
                 name=f"ida_{i}",
             )
             new_tail = ida(layers[j:], train)

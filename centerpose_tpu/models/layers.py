@@ -174,6 +174,8 @@ class DeformConvBlock(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    dcn_impl: str = "gather"          # 'gather' (exact) | 'windowed' (fast)
+    dcn_window_radius: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -200,7 +202,17 @@ class DeformConvBlock(nn.Module):
         weight = self.param("weight", w_init, (3, 3, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        x = dcn_v2(x, offset, mask, weight.astype(self.dtype), bias.astype(self.dtype))
+        if self.dcn_impl == "windowed":
+            from centerpose_tpu.ops.dcn_pallas import dcn_v2_windowed
+
+            x = dcn_v2_windowed(
+                x, offset, mask, weight.astype(self.dtype),
+                bias.astype(self.dtype), radius=self.dcn_window_radius,
+            )
+        else:
+            x = dcn_v2(
+                x, offset, mask, weight.astype(self.dtype), bias.astype(self.dtype)
+            )
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,

@@ -81,16 +81,31 @@ def _load_variables(path, cfg):
     return {"params": state.params, "batch_stats": state.batch_stats}
 
 
-def main():
-    args = parse_args()
-    detector = load_detector(args)
-    os.makedirs(args.out_dir, exist_ok=True)
+def _frames(args):
+    """Yield (name, image). Video files / frame dirs (with --tracking) stream in
+    order; otherwise each image is independent."""
+    from PIL import Image
 
+    is_video = args.demo.lower().endswith((".mp4", ".mov", ".webm", ".avi"))
+    if is_video or (args.tracking and os.path.isdir(args.demo)):
+        from centerpose_tpu.data.video import open_video
+
+        for i, frame in enumerate(open_video(args.demo)):
+            yield f"frame_{i:05d}", frame
+        return
     if os.path.isdir(args.demo):
         exts = ("*.png", "*.jpg", "*.jpeg")
         files = sorted(sum([glob.glob(os.path.join(args.demo, e)) for e in exts], []))
     else:
         files = [args.demo]
+    for path in files:
+        yield os.path.basename(path), np.asarray(Image.open(path).convert("RGB"))
+
+
+def main():
+    args = parse_args()
+    detector = load_detector(args)
+    os.makedirs(args.out_dir, exist_ok=True)
 
     meta = {}
     if args.cam_intrinsic is not None:
@@ -98,8 +113,7 @@ def main():
 
     from PIL import Image
 
-    for path in files:
-        img = np.asarray(Image.open(path).convert("RGB"))
+    for path, img in _frames(args):
         out = detector.run(img, meta or None)
         times = out["times"]
         print(
@@ -128,9 +142,8 @@ def main():
             from centerpose_tpu.utils.visualize import draw_detections
 
             vis = draw_detections(img, out["results"], out["boxes"])
-            Image.fromarray(vis).save(
-                os.path.join(args.out_dir, os.path.basename(path))
-            )
+            base = os.path.splitext(os.path.basename(path))[0]
+            Image.fromarray(vis).save(os.path.join(args.out_dir, base + ".png"))
 
 
 if __name__ == "__main__":
