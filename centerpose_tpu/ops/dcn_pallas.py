@@ -108,27 +108,29 @@ def dcn_sample_windowed(
 
 
 def _windowed_row_kernel(idx_ref, wgt_ref, band_ref, out_ref, *, span, w, kk, c):
-    """One output row: band [span, W+span-1, C] in VMEM; samples [W*KK, C].
+    """One output row, tap-major: band [span, W+span-1, C] in VMEM;
+    out [KK, W, C].
 
-    idx_ref: [W*KK, 4] int32 — flattened (sy*span_x + sx) window cell per corner
-             (span_x = span + 1 to key the x shift), INVALID = span*span_x.
-    wgt_ref: [W*KK, 4] f32.
+    idx_ref: [KK, W, 4] int32 — flattened (sy*span_x + sx) window cell per corner
+             (span_x = span + 1 so x-shift aliases are impossible),
+             INVALID = span*span_x.
+    wgt_ref: [KK, W, 4] f32.
+
+    Every FMA is a [W, C]-shaped dense op — no gathers, no repeats; the band is
+    read once from HBM per grid step and reused across all span² shifts.
     """
-    n = w * kk
-    acc = jnp.zeros((n, c), jnp.float32)
-    for sy in range(span):
-        for sx in range(span):
-            code = sy * (span + 1) + sx
-            wsum = jnp.zeros((n, 1), jnp.float32)
-            for corner in range(4):
-                hit = idx_ref[:, corner][:, None] == code
-                wsum += jnp.where(hit, wgt_ref[:, corner][:, None], 0.0)
-            # shifted source row segment for every output column: band row sy,
-            # columns sx .. sx+W-1 (static slice); broadcast across the KK taps.
-            seg = band_ref[sy, sx : sx + w, :]  # [W, C]
-            seg_rep = jnp.repeat(seg, kk, axis=0)  # [W*KK, C] (tap-minor)
-            acc += seg_rep * wsum
-    out_ref[:] = acc.astype(out_ref.dtype)
+    for t in range(kk):
+        acc = jnp.zeros((w, c), jnp.float32)
+        for sy in range(span):
+            for sx in range(span):
+                code = sy * (span + 1) + sx
+                wsum = jnp.zeros((w, 1), jnp.float32)
+                for corner in range(4):
+                    hit = idx_ref[t, :, corner][:, None] == code
+                    wsum += jnp.where(hit, wgt_ref[t, :, corner][:, None], 0.0)
+                seg = band_ref[sy, sx : sx + w, :]  # [W, C] static slice
+                acc += seg * wsum
+        out_ref[t] = acc.astype(out_ref.dtype)
 
 
 def dcn_sample_windowed_pallas(
@@ -173,9 +175,13 @@ def dcn_sample_windowed_pallas(
         idx_list.append(code)
         wgt_list.append(jnp.where(ok, wgt, 0.0))
 
-    # [B, H, W, KK, 4] → [B, H, W*KK, 4] tap-minor like the kernel expects.
-    idx4 = jnp.stack(idx_list, axis=-1).reshape(b, h, n_row, 4).astype(jnp.int32)
-    wgt4 = jnp.stack(wgt_list, axis=-1).reshape(b, h, n_row, 4).astype(jnp.float32)
+    # [B, H, W, KK, 4] → [B, H, KK, W, 4] tap-major like the kernel expects.
+    idx4 = (
+        jnp.stack(idx_list, axis=-1).transpose(0, 1, 3, 2, 4).astype(jnp.int32)
+    )
+    wgt4 = (
+        jnp.stack(wgt_list, axis=-1).transpose(0, 1, 3, 2, 4).astype(jnp.float32)
+    )
 
     # Padded x so each output row r reads band rows r+lo .. r+hi and columns
     # lo .. w-1+hi: pad by |lo| before and hi after in both dims, then view row
@@ -194,9 +200,9 @@ def dcn_sample_windowed_pallas(
         grid=grid,
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((1, 1, n_row, 4), lambda bi, ri: (bi, ri, 0, 0),
+            pl.BlockSpec((1, 1, kk, w, 4), lambda bi, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_row, 4), lambda bi, ri: (bi, ri, 0, 0),
+            pl.BlockSpec((1, 1, kk, w, 4), lambda bi, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, span, w + span - 1, c), lambda bi, ri: (bi, ri, 0, 0, 0),
@@ -204,12 +210,12 @@ def dcn_sample_windowed_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, n_row, c), lambda bi, ri: (bi, ri, 0, 0),
+            (1, 1, kk, w, c), lambda bi, ri: (bi, ri, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_row, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, kk, w, c), x.dtype),
     )(idx4, wgt4, bands)
-    return out.reshape(b, h, w, kk, c)
+    return out.transpose(0, 1, 3, 2, 4)  # [B, H, W, KK, C]
 
 
 def _windowed_row_kernel_wrap(idx_ref, wgt_ref, band_ref, out_ref, *, span, w, kk, c):
@@ -223,6 +229,7 @@ def _windowed_row_kernel_wrap(idx_ref, wgt_ref, band_ref, out_ref, *, span, w, k
         kk=kk,
         c=c,
     )
+
 
 
 @partial(jax.jit, static_argnames=("radius", "padding", "use_pallas"))

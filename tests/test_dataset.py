@@ -115,3 +115,39 @@ class TestDataset:
         m = rotation_y_matrix(np.pi / 2)
         v = m[:3, :3] @ np.array([1.0, 0.0, 0.0])
         np.testing.assert_allclose(v, [0, 0, -1], atol=1e-12)
+
+
+class TestTrackingDataset:
+    def test_tracking_sample_structure(self, toy_dataset):
+        from centerpose_tpu.config import preset
+
+        cfg = preset("centerpose_track", input_h=64, input_w=64, category="shoe")
+        ds = ObjectPoseDataset(toy_dataset, cfg, split="train", seed=5)
+        item = None
+        for _ in range(5):  # lost_disturb may drop; retry a few draws
+            item = ds[0]
+            if item is not None and item["pre_hm"].max() > 0:
+                break
+        assert item is not None
+        assert item["pre_img"].shape == (64, 64, 3)
+        assert item["pre_hm"].shape == (64, 64, 1)
+        assert item["pre_hm_hp"].shape == (64, 64, 8)
+        assert "tracking" in item and item["tracking"].shape == (1, cfg.max_objs, 2)
+        assert "tracking_hp" in item
+
+    def test_tracking_offsets_small_for_static_video(self, toy_dataset):
+        from centerpose_tpu.config import preset
+
+        cfg = preset("centerpose_track", input_h=64, input_w=64, category="shoe")
+        ds = ObjectPoseDataset(
+            toy_dataset, cfg, split="val", hm_disturb=0.0, lost_disturb=0.0,
+            fp_disturb=0.0, hp_lost_disturb=0.0,
+        )
+        item = ds[0]
+        assert item is not None
+        tm = item["tracking_mask"][0]
+        if tm.sum() > 0:
+            # Same-content frames, no aug in val -> offsets bounded by the
+            # int-rounding of centers (< 2 px at output res).
+            t = np.abs(item["tracking"][0][tm > 0])
+            assert t.max() < 2.5

@@ -1,0 +1,120 @@
+"""Evaluator integration tests with synthetic GT and detector outputs."""
+
+import json
+
+import numpy as np
+import pytest
+
+from centerpose_tpu.config import preset
+from centerpose_tpu.evaluation.evaluator import (
+    Evaluator,
+    GroundTruthInstance,
+    compute_plane_scale,
+    parse_gt_json,
+)
+from centerpose_tpu.geometry.cuboid import cuboid_vertices
+
+
+def _gt(scale=(0.4, 1.0, 0.6), t=(0.1, -0.2, 1.5), yaw=0.3):
+    c, s = np.cos(yaw), np.sin(yaw)
+    r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    corners = cuboid_vertices(scale) @ r.T + np.asarray(t)
+    kps3d = np.vstack([corners.mean(0, keepdims=True), corners])
+    kps2d = kps3d[:, :2] / kps3d[:, 2:3] * 0.5 + 0.5  # fake normalized projection
+    return GroundTruthInstance(
+        kps_2d_norm=kps2d,
+        kps_3d_cam=kps3d,
+        scale=np.asarray(scale, float),
+        rotation=r,
+        translation=np.asarray(t, float),
+    )
+
+
+def _pred_box(gt: GroundTruthInstance, score=0.9, jitter=0.0):
+    rng = np.random.RandomState(0)
+    kps3d = gt.kps_3d_cam + rng.randn(*gt.kps_3d_cam.shape) * jitter
+    det = {"score": score}
+    scale_pred = gt.scale / gt.scale[1]
+    return (gt.kps_2d_norm.copy(), kps3d, scale_pred, gt.kps_2d_norm.copy(), det)
+
+
+class TestEvaluator:
+    def test_perfect_prediction_full_ap(self):
+        cfg = preset("centerpose", category="shoe")
+        ev = Evaluator(cfg, eval_num_symmetry=1)
+        gt = _gt()
+        ev.evaluate_image([_pred_box(gt)], [gt], plane=None)
+        aps = ev.compute_aps()
+        assert aps["iou3d"][10] == pytest.approx(1.0)  # IoU@0.5
+        assert aps["pixel2d"][-1] == pytest.approx(1.0)
+        assert aps["scale"][-1] == pytest.approx(1.0)
+        assert aps["add"][-1] == pytest.approx(1.0)
+
+    def test_missing_detection_zero_recall(self):
+        cfg = preset("centerpose", category="shoe")
+        ev = Evaluator(cfg, eval_num_symmetry=1)
+        ev.evaluate_image([], [_gt()], plane=None)
+        aps = ev.compute_aps()
+        assert aps["iou3d"][10] == 0.0
+
+    def test_plane_scale_recovery(self):
+        # Box sitting on the y=-0.5 plane; a half-scaled prediction recovers 2x.
+        gt = _gt(scale=(1.0, 1.0, 1.0), t=(0, 0, 0), yaw=0.0)
+        plane = (np.array([0.0, -0.5, 0.0]), np.array([0.0, 1.0, 0.0]))
+        scale = compute_plane_scale(gt.kps_3d_cam * 0.5, plane)
+        assert scale == pytest.approx(2.0, abs=1e-6)
+
+    def test_report_and_consistency(self):
+        cfg = preset("centerpose", category="shoe")
+        ev = Evaluator(cfg, eval_num_symmetry=1)
+        gt = _gt()
+        for frame in range(3):
+            ev.evaluate_image([_pred_box(gt)], [gt], plane=None, frame_id=frame)
+        rep = ev.report()
+        assert "iou3d" in rep and "consistency" in rep
+        assert ev.consistency_score() == pytest.approx(1.0, abs=1e-5)
+
+    def test_stats_save_merge(self, tmp_path):
+        cfg = preset("centerpose", category="shoe")
+        gt = _gt()
+        ev1 = Evaluator(cfg, eval_num_symmetry=1)
+        ev1.evaluate_image([_pred_box(gt)], [gt])
+        p = str(tmp_path / "shard.json")
+        ev1.save_stats(p)
+
+        ev2 = Evaluator(cfg, eval_num_symmetry=1)
+        ev2.evaluate_image([], [gt])  # one missed GT
+        ev2.load_and_merge(p)
+        aps = ev2.compute_aps()
+        # 1 hit of 2 GT -> recall 0.5 at IoU 0.5.
+        assert aps["iou3d"][10] == pytest.approx(0.5)
+
+    def test_parse_gt_json(self, tmp_path):
+        ann = {
+            "camera_data": {"width": 640, "height": 480},
+            "objects": [
+                {
+                    "projected_cuboid": (np.ones((9, 2)) * 100).tolist(),
+                    "keypoints_3d": np.zeros((9, 3)).tolist(),
+                    "scale": [0.1, 0.2, 0.3],
+                    "quaternion_xyzw": [0, 0, 0, 1],
+                    "location": [0, 0, 1],
+                }
+            ],
+            "AR_data": {"plane_center": [0, 0, 0], "plane_normal": [0, 1, 0]},
+        }
+        p = tmp_path / "a.json"
+        with open(p, "w") as f:
+            json.dump(ann, f)
+        instances, plane, meta = parse_gt_json(str(p))
+        assert len(instances) == 1
+        np.testing.assert_allclose(
+            instances[0].kps_2d_norm[0], [100 / 640, 100 / 480]
+        )
+        assert plane is not None
+        assert meta["width"] == 640
+
+    def test_symmetric_category_sweep_default(self):
+        cfg = preset("centerpose", category="bottle")
+        ev = Evaluator(cfg)
+        assert ev.eval_num_symmetry == 100
