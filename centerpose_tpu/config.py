@@ -106,6 +106,7 @@ class CenterPoseConfig:
     use_hungarian: bool = False
     conf_border: Tuple[float, float] = (3.0, 9.0)  # opts.py:242-244
     refined_kalman: bool = False      # CenterPose + KF baseline (tracker_baseline.py)
+    empty_pre_hm: bool = False        # eval ablation: zero previous heatmaps
     max_tracks: int = 16              # fixed track slots (TPU static shape)
 
     # --- system -------------------------------------------------------------------

@@ -229,10 +229,42 @@ class Detector:
         mode = self.cfg.rep_mode
         if mode in (0, 3, 4):
             return np.asarray(det["kps"], np.float64).reshape(-1, 2)
+        if mode == 2:
+            return self._pnp_points_sampled(det)
         # rep_mode 1 (default): 16 points interleaved [disp_j, heat_j].
         p1 = np.asarray(det["kps_displacement_mean"], np.float64).reshape(-1, 2)
         p2 = np.asarray(det["kps_heatmap_mean"], np.float64).reshape(-1, 2)
         return np.hstack([p1, p2]).reshape(-1, 2)
+
+    def _pnp_points_sampled(self, det: dict, n_sample: int = 20) -> np.ndarray:
+        """rep_mode 2 (base_detector.py:568-650): per joint, draw N_sample points
+        from the displacement⊕heatmap estimate mixture. The reference fits a
+        2-component sklearn GMM to samples of the two gaussians and resamples;
+        sampling the mixture directly is statistically equivalent and
+        dependency-free."""
+        rng = np.random.RandomState(0)
+        d_mean = np.asarray(det["kps_displacement_mean"], np.float64).reshape(-1, 2)
+        h_mean = np.asarray(det["kps_heatmap_mean"], np.float64).reshape(-1, 2)
+        h_std = np.abs(
+            np.asarray(det["kps_heatmap_std"], np.float64).reshape(-1, 2)
+        )
+        points = []
+        for j in range(d_mean.shape[0]):
+            if h_mean[j, 0] < -5000 or h_mean[j, 1] < -5000:
+                # heatmap estimate missing → displacement-only, wide std.
+                std = np.array([5.0, 5.0])
+                pts = d_mean[j] + rng.randn(n_sample, 2) * np.sqrt(std)
+            else:
+                std = np.maximum(h_std[j], 1e-3)
+                half = n_sample // 2
+                pts = np.vstack(
+                    [
+                        h_mean[j] + rng.randn(half, 2) * np.sqrt(std),
+                        d_mean[j] + rng.randn(n_sample - half, 2) * np.sqrt(std),
+                    ]
+                )
+            points.append(pts)
+        return np.vstack(points)
 
     def run_pnp(self, results: List[dict], meta: dict) -> List[tuple]:
         """Batched pnp_shell over all surviving boxes (cuboid_pnp_shell.py:11-93)."""
@@ -367,13 +399,14 @@ class Detector:
         cfg = self.cfg
         if self.pre_images is None:
             self.pre_images = images_j
-            if self.tracker is not None:
-                self.tracker.reset()
-        pre_hm, pre_hm_hp = render_previous_heatmaps(
-            self.tracker.active_tracks() if self.tracker else [],
-            meta,
-            cfg,
+            if self.tracker is not None and "pre_dets" in meta:
+                self.tracker.init_track(meta)
+        tracks = (
+            []
+            if cfg.empty_pre_hm  # eval ablation --eval_empty_pre_hm
+            else (self.tracker.active_tracks() if self.tracker else [])
         )
+        pre_hm, pre_hm_hp = render_previous_heatmaps(tracks, meta, cfg)
         return pre_hm, pre_hm_hp, self.pre_images
 
     def reset_tracking(self):

@@ -120,16 +120,23 @@ def _windowed_row_kernel(idx_ref, wgt_ref, band_ref, out_ref, *, span, w, kk, c)
     read once from HBM per grid step and reused across all span² shifts.
     """
     for t in range(kk):
-        acc = jnp.zeros((w, c), jnp.float32)
-        for sy in range(span):
-            for sx in range(span):
-                code = sy * (span + 1) + sx
-                wsum = jnp.zeros((w, 1), jnp.float32)
-                for corner in range(4):
-                    hit = idx_ref[t, :, corner][:, None] == code
-                    wsum += jnp.where(hit, wgt_ref[t, :, corner][:, None], 0.0)
-                seg = band_ref[sy, sx : sx + w, :]  # [W, C] static slice
-                acc += seg * wsum
+        idx_t = idx_ref[t]  # [W, 4]
+        wgt_t = wgt_ref[t]
+
+        def cell_body(cell, acc):
+            sy = cell // span
+            sx = cell % span
+            code = sy * (span + 1) + sx
+            wsum = jnp.zeros((w, 1), jnp.float32)
+            for corner in range(4):
+                hit = idx_t[:, corner][:, None] == code
+                wsum += jnp.where(hit, wgt_t[:, corner][:, None], 0.0)
+            seg = band_ref[pl.ds(sy, 1), pl.ds(sx, w), :].reshape(w, c)
+            return acc + seg * wsum
+
+        acc = jax.lax.fori_loop(
+            0, span * span, cell_body, jnp.zeros((w, c), jnp.float32)
+        )
         out_ref[t] = acc.astype(out_ref.dtype)
 
 
@@ -183,20 +190,16 @@ def dcn_sample_windowed_pallas(
         jnp.stack(wgt_list, axis=-1).transpose(0, 1, 3, 2, 4).astype(jnp.float32)
     )
 
-    # Padded x so each output row r reads band rows r+lo .. r+hi and columns
-    # lo .. w-1+hi: pad by |lo| before and hi after in both dims, then view row
-    # bands via a stride-1 BlockSpec over a [B, H, span, W+span-1, C] gather-free
-    # restructuring: build the band tensor by stacking shifted slices (host-side
-    # XLA slice ops, cheap and fusable).
+    # Padded x: output row r reads padded rows r .. r+span-1 and the full padded
+    # width (columns shift within the kernel). The band is DMA'd HBM→VMEM inside
+    # the kernel with an element-granular dynamic row slice — BlockSpec index
+    # maps only support block-granular offsets.
     x_pad = jnp.pad(x, ((0, 0), (-lo, hi), (-lo, hi), (0, 0)))
-    bands = jnp.stack(
-        [x_pad[:, s : s + h, : w + span - 1, :] for s in range(span)], axis=2
-    )  # [B, H, span, W+span-1, C]
 
     grid = (b, h)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
-        partial(_windowed_row_kernel_wrap, span=span, w=w, kk=kk, c=c),
+        partial(_windowed_dma_kernel, span=span, w=w, kk=kk, c=c),
         grid=grid,
         interpret=interpret,
         in_specs=[
@@ -204,25 +207,35 @@ def dcn_sample_windowed_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, kk, w, 4), lambda bi, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, span, w + span - 1, c), lambda bi, ri: (bi, ri, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x_pad stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, 1, kk, w, c), lambda bi, ri: (bi, ri, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, kk, w, c), x.dtype),
-    )(idx4, wgt4, bands)
+        scratch_shapes=[
+            pltpu.VMEM((span, w + span - 1, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(idx4, wgt4, x_pad)
     return out.transpose(0, 1, 3, 2, 4)  # [B, H, W, KK, C]
 
 
-def _windowed_row_kernel_wrap(idx_ref, wgt_ref, band_ref, out_ref, *, span, w, kk, c):
+def _windowed_dma_kernel(
+    idx_ref, wgt_ref, x_hbm_ref, out_ref, band_scratch, dma_sem, *, span, w, kk, c
+):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm_ref.at[bi, pl.ds(ri, span)], band_scratch, dma_sem
+    )
+    copy.start()
+    copy.wait()
     _windowed_row_kernel(
         idx_ref[0, 0],
         wgt_ref[0, 0],
-        band_ref[0, 0],
+        band_scratch,
         out_ref.at[0, 0],
         span=span,
         w=w,

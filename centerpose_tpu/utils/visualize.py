@@ -71,3 +71,50 @@ def draw_detections(
             _draw_line(img, corners[a], corners[b], color, 2)
         _draw_point(img, proj9[0], (255, 255, 255), 3)
     return img
+
+
+def overlay_heatmap(image: np.ndarray, heatmap: np.ndarray, alpha=0.5) -> np.ndarray:
+    """Blend a [h, w] (or [h, w, J]) heatmap onto the image — the Debugger's
+    `gen_colormap`/`add_blend_img` views (debugger.py)."""
+    img = np.asarray(image, np.float64).copy()
+    hm = np.asarray(heatmap, np.float64)
+    if hm.ndim == 3:
+        hm = hm.max(axis=-1)
+    if hm.shape != img.shape[:2]:
+        ry = img.shape[0] / hm.shape[0]
+        rx = img.shape[1] / hm.shape[1]
+        yy = (np.arange(img.shape[0]) / ry).astype(int).clip(0, hm.shape[0] - 1)
+        xx = (np.arange(img.shape[1]) / rx).astype(int).clip(0, hm.shape[1] - 1)
+        hm = hm[yy][:, xx]
+    heat_rgb = np.stack([hm * 255, hm * 64, (1 - hm) * 128], axis=-1)
+    out = img * (1 - alpha * hm[..., None]) + heat_rgb * alpha * hm[..., None]
+    return out.clip(0, 255).astype(np.uint8)
+
+
+def draw_axes(
+    image: np.ndarray,
+    rotation: np.ndarray,
+    translation: np.ndarray,
+    camera: np.ndarray,
+    length: float = 0.1,
+) -> np.ndarray:
+    """Project and draw the object's XYZ axes (debugger.py `add_axes` /
+    eval_utils.py draw_axes)."""
+    img = np.ascontiguousarray(np.asarray(image, np.uint8).copy())
+    origin = np.asarray(translation, np.float64)
+    pts3d = np.vstack(
+        [origin]
+        + [origin + np.asarray(rotation) @ (np.eye(3)[i] * length) for i in range(3)]
+    )
+    z = np.where(np.abs(pts3d[:, 2]) < 1e-9, 1e-9, pts3d[:, 2])
+    uv = np.stack(
+        [
+            camera[0, 0] * pts3d[:, 0] / z + camera[0, 2],
+            camera[1, 1] * pts3d[:, 1] / z + camera[1, 2],
+        ],
+        axis=-1,
+    )
+    axis_colors = [(219, 68, 55), (15, 157, 88), (66, 133, 244)]  # x, y, z
+    for i in range(3):
+        _draw_line(img, uv[0], uv[i + 1], axis_colors[i], 2)
+    return img
