@@ -107,39 +107,6 @@ def dcn_sample_windowed(
     return out
 
 
-def _windowed_row_kernel(idx_ref, wgt_ref, band_ref, out_ref, *, span, w, kk, c):
-    """One output row, tap-major: band [span, W+span-1, C] in VMEM;
-    out [KK, W, C].
-
-    idx_ref: [KK, W, 4] int32 — flattened (sy*span_x + sx) window cell per corner
-             (span_x = span + 1 so x-shift aliases are impossible),
-             INVALID = span*span_x.
-    wgt_ref: [KK, W, 4] f32.
-
-    Every FMA is a [W, C]-shaped dense op — no gathers, no repeats; the band is
-    read once from HBM per grid step and reused across all span² shifts.
-    """
-    for t in range(kk):
-        idx_t = idx_ref[t]  # [W, 4]
-        wgt_t = wgt_ref[t]
-
-        def cell_body(cell, acc):
-            sy = cell // span
-            sx = cell % span
-            code = sy * (span + 1) + sx
-            wsum = jnp.zeros((w, 1), jnp.float32)
-            for corner in range(4):
-                hit = idx_t[:, corner][:, None] == code
-                wsum += jnp.where(hit, wgt_t[:, corner][:, None], 0.0)
-            seg = band_ref[pl.ds(sy, 1), pl.ds(sx, w), :].reshape(w, c)
-            return acc + seg * wsum
-
-        acc = jax.lax.fori_loop(
-            0, span * span, cell_body, jnp.zeros((w, c), jnp.float32)
-        )
-        out_ref[t] = acc.astype(out_ref.dtype)
-
-
 def dcn_sample_windowed_pallas(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -193,13 +160,19 @@ def dcn_sample_windowed_pallas(
     # Padded x: output row r reads padded rows r .. r+span-1 and the full padded
     # width (columns shift within the kernel). The band is DMA'd HBM→VMEM inside
     # the kernel with an element-granular dynamic row slice — BlockSpec index
-    # maps only support block-granular offsets.
-    x_pad = jnp.pad(x, ((0, 0), (-lo, hi), (-lo, hi), (0, 0)))
+    # maps only support block-granular offsets. The band width is padded up to a
+    # multiple of 8 sublanes: unaligned DMA shapes fail to compile on TPU.
+    w_band = w + span - 1
+    w_band_pad = -(-w_band // 8) * 8
+    x_pad = jnp.pad(
+        x, ((0, 0), (-lo, hi), (-lo, hi + (w_band_pad - w_band)), (0, 0))
+    )
 
+    hp = x_pad.shape[1]
     grid = (b, h)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
-        partial(_windowed_dma_kernel, span=span, w=w, kk=kk, c=c),
+        partial(_windowed_vmem_kernel, span=span, w=w, kk=kk, c=c),
         grid=grid,
         interpret=interpret,
         in_specs=[
@@ -207,41 +180,46 @@ def dcn_sample_windowed_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, kk, w, 4), lambda bi, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x_pad stays in HBM
+            # Whole padded feature map resident in VMEM for the batch item;
+            # consecutive row steps reuse the block (same block index).
+            pl.BlockSpec((1, hp, w_band_pad, c), lambda bi, ri: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, kk, w, c), lambda bi, ri: (bi, ri, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, kk, w, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((span, w + span - 1, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(idx4, wgt4, x_pad)
     return out.transpose(0, 1, 3, 2, 4)  # [B, H, W, KK, C]
 
 
-def _windowed_dma_kernel(
-    idx_ref, wgt_ref, x_hbm_ref, out_ref, band_scratch, dma_sem, *, span, w, kk, c
-):
-    bi = pl.program_id(0)
+def _windowed_vmem_kernel(idx_ref, wgt_ref, x_ref, out_ref, *, span, w, kk, c):
+    """Same math as _windowed_row_kernel but slicing the VMEM-resident padded
+    feature map directly (row ri + window row sy, column shift sx)."""
     ri = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm_ref.at[bi, pl.ds(ri, span)], band_scratch, dma_sem
-    )
-    copy.start()
-    copy.wait()
-    _windowed_row_kernel(
-        idx_ref[0, 0],
-        wgt_ref[0, 0],
-        band_scratch,
-        out_ref.at[0, 0],
-        span=span,
-        w=w,
-        kk=kk,
-        c=c,
-    )
+    for t in range(kk):
+        idx_t = idx_ref[0, 0, t]  # [W, 4]
+        wgt_t = wgt_ref[0, 0, t]
+
+        def cell_body(cell, acc):
+            sy = cell // span
+            sx = cell % span
+            code = sy * (span + 1) + sx
+            wsum = jnp.zeros((w, 1), jnp.float32)
+            for corner in range(4):
+                hit = idx_t[:, corner][:, None] == code
+                wsum += jnp.where(hit, wgt_t[:, corner][:, None], 0.0)
+            seg = x_ref[0, pl.ds(ri + sy, 1), pl.ds(sx, w), :].reshape(w, c)
+            return acc + seg * wsum
+
+        acc = jax.lax.fori_loop(
+            0, span * span, cell_body, jnp.zeros((w, c), jnp.float32)
+        )
+        out_ref[0, 0, t] = acc.astype(out_ref.dtype)
 
 
 

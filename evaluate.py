@@ -26,6 +26,11 @@ def parse_args():
     p.add_argument("--max_images", type=int, default=0)
     p.add_argument("--report_file", default="")
     p.add_argument("--input_res", type=int, default=512)
+    p.add_argument(
+        "--all_checkpoints", action="store_true",
+        help="loss mode: replay every epoch_*/best/ckpt dir under --load_model "
+             "(src/test.py parity)",
+    )
     return p.parse_args()
 
 
@@ -84,28 +89,52 @@ def main():
         from centerpose_tpu.utils.checkpoint import load_checkpoint
 
         model = create_model(cfg)
-        state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
-        if args.load_model:
-            state, _ = load_checkpoint(args.load_model, state)
         eval_fn = make_eval_step(cfg, model)
         ds = ObjectPoseDataset(args.data_dir, cfg, split="val")
-        agg, n = {}, 0
-        buf = []
-        for i in range(len(ds)):
-            item = ds[i]
-            if item is None:
-                continue
-            item.pop("meta", None)
-            buf.append(item)
-            if len(buf) == 8:
-                batch = collate_filtered(buf)
-                stats = eval_fn(state, batch)
-                n += 1
-                for k, v in stats.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
-                buf = []
-        agg = {k: v / max(n, 1) for k, v in agg.items()}
-        print(" ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+
+        def run_val(state):
+            agg, n = {}, 0
+            buf = []
+            for i in range(len(ds)):
+                item = ds[i]
+                if item is None:
+                    continue
+                item.pop("meta", None)
+                buf.append(item)
+                if len(buf) == 8:
+                    batch = collate_filtered(buf)
+                    stats = eval_fn(state, batch)
+                    n += 1
+                    for k, v in stats.items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+                    buf = []
+            return {k: v / max(n, 1) for k, v in agg.items()}
+
+        if args.all_checkpoints and args.load_model:
+            # test.py parity: replay every saved checkpoint through val loss.
+            import glob as _glob
+
+            dirs = sorted(
+                d for d in _glob.glob(os.path.join(args.load_model, "*"))
+                if os.path.isdir(d)
+            )
+            for d in dirs:
+                state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+                try:
+                    state, step = load_checkpoint(d, state)
+                except (FileNotFoundError, ValueError):
+                    continue
+                agg = run_val(state)
+                print(
+                    f"{os.path.basename(d)} (step {step}): "
+                    + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
+                )
+        else:
+            state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+            if args.load_model:
+                state, _ = load_checkpoint(args.load_model, state)
+            agg = run_val(state)
+            print(" ".join(f"{k}={v:.4f}" for k, v in agg.items()))
 
 
 if __name__ == "__main__":

@@ -75,3 +75,31 @@ class TestDetectorE2E:
         assert images.shape == (1, 64, 64, 3)
         assert meta["s"] == 200.0
         np.testing.assert_allclose(meta["c"], [100, 50])
+
+
+class TestVisualize:
+    def test_draw_detections(self):
+        from centerpose_tpu.utils.visualize import draw_detections
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        det = {
+            "bbox": np.array([10, 10, 50, 50.0]),
+            "kps": np.linspace(12, 48, 16),
+        }
+        proj9 = np.random.RandomState(0).rand(9, 2)
+        out = draw_detections(img, [det], [(proj9, None, None, None, det)])
+        assert out.shape == img.shape
+        assert out.max() > 0  # something was drawn
+
+    def test_overlay_heatmap_and_axes(self):
+        from centerpose_tpu.utils.visualize import draw_axes, overlay_heatmap
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        hm = np.zeros((16, 16))
+        hm[8, 8] = 1.0
+        out = overlay_heatmap(img, hm)
+        assert out.shape == img.shape and out.max() > 0
+
+        cam = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+        out2 = draw_axes(img, np.eye(3), np.array([0, 0, 1.0]), cam)
+        assert out2.max() > 0
