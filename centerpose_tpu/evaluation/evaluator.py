@@ -273,12 +273,62 @@ class Evaluator:
         return "\n".join(lines)
 
 
+@dataclasses.dataclass
+class EvalAblation:
+    """Video-eval ablation modes (eval_video_official.py predict :317-480 and the
+    shell driver's MODE_0..MODE_8 presets).
+
+    gt_pre_hm_first: seed the tracker with GT detections on each video's first
+                     frame (--eval_gt_pre_hm_hmhp_first).
+    add_noise:       gaussian-perturb the seeded GT keypoints (--eval_add_noise),
+                     std = noise_std × box size.
+    fake_output:     propagate the previous frame's boxes as this frame's output —
+                     the pure-pipeline null test (--eval_fake_output, :458-478).
+    """
+
+    gt_pre_hm_first: bool = False
+    add_noise: bool = False
+    noise_std: float = 0.05
+    fake_output: bool = False
+
+
+def _gt_pre_dets(instances, width, height, rng, ablation: EvalAblation):
+    """Build tracker-seed detections from GT (eval_video predict :317-420)."""
+    dets = []
+    for gt in instances:
+        kps_px = gt.kps_2d_norm[1:].copy()
+        kps_px[:, 0] *= width
+        kps_px[:, 1] *= height
+        if ablation.add_noise:
+            span = kps_px.max(axis=0) - kps_px.min(axis=0)
+            kps_px = kps_px + rng.randn(*kps_px.shape) * ablation.noise_std * span
+        bbox = np.array(
+            [kps_px[:, 0].min(), kps_px[:, 1].min(),
+             kps_px[:, 0].max(), kps_px[:, 1].max()]
+        )
+        dets.append(
+            {
+                "score": 1.0,
+                "cls": 0,
+                "bbox": bbox,
+                "ct": [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2],
+                "kps": kps_px.reshape(-1),
+                "tracking": np.zeros(2),
+                "tracking_hp": np.zeros(16),
+                "obj_scale": gt.scale / max(gt.scale[1], 1e-9),
+                "obj_scale_uncertainty": np.full(3, 0.1),
+            }
+        )
+    return dets
+
+
 def evaluate_tfrecords(
     detector,
     record_paths: Sequence[str],
     config: CenterPoseConfig,
     max_images: Optional[int] = None,
     is_video: bool = False,
+    ablation: Optional[EvalAblation] = None,
 ) -> Evaluator:
     """Objectron tfrecord evaluation path (eval_image_official.py:1186-1211 /
     eval_video_official.py Dataloader), using the native TFRecord reader
@@ -290,10 +340,14 @@ def evaluate_tfrecords(
     from centerpose_tpu.data.tfrecord import parse_objectron_example, read_tfrecord
 
     evaluator = Evaluator(config)
+    ablation = ablation or EvalAblation()
+    rng = np.random.RandomState(0)
     count = 0
+    prev_boxes = []
     for ridx, path in enumerate(record_paths):
         if is_video:
             detector.reset_tracking()
+            prev_boxes = []
         for fidx, payload in enumerate(read_tfrecord(path)):
             if max_images and count >= max_images:
                 return evaluator
@@ -325,10 +379,18 @@ def evaluate_tfrecords(
                 input_meta["camera_matrix"] = np.array(
                     [[k[1, 1], 0, k[1, 2]], [0, k[0, 0], k[0, 2]], [0, 0, 1]]
                 )
-            out = detector.run(img, input_meta or None)
+            if is_video and fidx == 0 and ablation.gt_pre_hm_first:
+                input_meta["pre_dets"] = _gt_pre_dets(
+                    instances, w, h, rng, ablation
+                )
+            if ablation.fake_output and fidx > 0:
+                boxes = prev_boxes  # pipeline null test: reuse previous frame
+            else:
+                out = detector.run(img, input_meta or None)
+                boxes = out["boxes"]
+            prev_boxes = boxes
             evaluator.evaluate_image(
-                out["boxes"], instances, ex.get("plane"),
-                fidx if is_video else None,
+                boxes, instances, ex.get("plane"), fidx if is_video else None
             )
             count += 1
     return evaluator
