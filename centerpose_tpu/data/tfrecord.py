@@ -171,9 +171,22 @@ def parse_example(buf: bytes) -> Dict[str, Feature]:
     return fm
 
 
+def write_tfrecord(path: str, payloads) -> None:
+    """Write raw record payloads with masked CRCs (the inverse of read_tfrecord);
+    used by the per-video re-sorter (prepare_test_video.py parity)."""
+    with open(path, "wb") as f:
+        for data in payloads:
+            header = struct.pack("<Q", len(data))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(data)
+            f.write(struct.pack("<I", _masked_crc(data)))
+
+
 # ------------------------------------------------------------ objectron layer
 KEYS = {
     "IMAGE_ENCODED": "image/encoded",
+    "IMAGE_FILENAME": "image/filename",
     "IMAGE_ID": "image/id",
     "IMAGE_WIDTH": "image/width",
     "IMAGE_HEIGHT": "image/height",
@@ -208,6 +221,8 @@ def parse_objectron_example(buf: bytes) -> Dict[str, object]:
     out: Dict[str, object] = {}
     if KEYS["IMAGE_ENCODED"] in fm:
         out["image_bytes"] = fm[KEYS["IMAGE_ENCODED"]].bytes_list[0]
+    if KEYS["IMAGE_FILENAME"] in fm:
+        out["filename"] = fm[KEYS["IMAGE_FILENAME"]].bytes_list[0].decode("utf-8")
     if KEYS["IMAGE_ID"] in fm:
         out["image_id"] = int(fm[KEYS["IMAGE_ID"]].int64_list[0])
 

@@ -17,7 +17,7 @@ import os
 def parse_args():
     p = argparse.ArgumentParser(description="centerpose_tpu evaluation")
     p.add_argument("--mode", choices=("loss", "metric"), default="metric")
-    p.add_argument("--data_dir", required=True)
+    p.add_argument("--data_dir", default="")
     p.add_argument("--c", dest="category", default="shoe")
     p.add_argument("--arch", default="dlav1_34")
     p.add_argument("--load_model", default="")
@@ -31,54 +31,94 @@ def parse_args():
         help="loss mode: replay every epoch_*/best/ckpt dir under --load_model "
              "(src/test.py parity)",
     )
+    # Video-eval ablations (shell_eval_video_CenterPoseTrack.py mode presets).
+    p.add_argument("--eval_gt_pre_hm_first", action="store_true")
+    p.add_argument("--eval_add_noise", action="store_true")
+    p.add_argument("--eval_fake_output", action="store_true")
+    p.add_argument("--eval_empty_pre_hm", action="store_true")
+    p.add_argument("--no_kalman", action="store_true")
+    p.add_argument("--no_scale_pool", action="store_true")
+    p.add_argument("--refined_kalman", action="store_true")
+    p.add_argument("--tfrecords", default="",
+                   help="evaluate Objectron tfrecords (glob) instead of --data_dir")
+    p.add_argument("--stats_save", default="",
+                   help="dump raw hit/conf records for scripts/group_report.py")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if not args.data_dir and not args.tfrecords:
+        raise SystemExit("one of --data_dir / --tfrecords is required")
     from centerpose_tpu.config import preset
 
     name = "centerpose_track" if args.tracking else (
         "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"
     )
+    overrides = {}
+    if args.eval_empty_pre_hm:
+        overrides["empty_pre_hm"] = True
+    if args.no_kalman:
+        overrides["use_kalman"] = False
+    if args.no_scale_pool:
+        overrides["use_scale_pool"] = False
+    if args.refined_kalman:
+        overrides["refined_kalman"] = True
     cfg = preset(
         name,
         category=args.category,
         arch=args.arch if not args.tracking else "dla_34",
         input_h=args.input_res,
         input_w=args.input_res,
+        **overrides,
     )
 
     if args.mode == "metric":
-        from demo import load_detector
+        from centerpose_tpu.inference.detector import Detector
+        from demo import _load_variables
 
-        class _A:
-            pass
-
-        det_args = _A()
-        det_args.arch = args.arch
-        det_args.category = args.category
-        det_args.load_model = args.load_model
-        det_args.tracking = args.tracking
-        det_args.vis_thresh = 0.3
-        det_args.rep_mode = 1
-        detector = load_detector(det_args)
-
-        from centerpose_tpu.evaluation.evaluator import evaluate_dataset
-
-        evaluator = evaluate_dataset(
-            detector,
-            args.data_dir,
-            cfg,
-            max_images=args.max_images or None,
-            is_video=args.tracking,
+        variables = (
+            _load_variables(args.load_model, cfg) if args.load_model else None
         )
+        detector = Detector(cfg, variables)
+
+        from centerpose_tpu.evaluation.evaluator import (
+            EvalAblation,
+            evaluate_dataset,
+            evaluate_tfrecords,
+        )
+
+        ablation = EvalAblation(
+            gt_pre_hm_first=args.eval_gt_pre_hm_first,
+            add_noise=args.eval_add_noise,
+            fake_output=args.eval_fake_output,
+        )
+        if args.tfrecords:
+            import glob as _glob
+
+            records = sorted(_glob.glob(args.tfrecords))
+            evaluator = evaluate_tfrecords(
+                detector, records, cfg,
+                max_images=args.max_images or None,
+                is_video=args.tracking,
+                ablation=ablation,
+            )
+        else:
+            evaluator = evaluate_dataset(
+                detector,
+                args.data_dir,
+                cfg,
+                max_images=args.max_images or None,
+                is_video=args.tracking,
+            )
         report = evaluator.report()
         print(report)
         if args.report_file:
             os.makedirs(os.path.dirname(args.report_file) or ".", exist_ok=True)
             with open(args.report_file, "w") as f:
                 f.write(report + "\n")
+        if args.stats_save:
+            evaluator.save_stats(args.stats_save)
     else:
         import jax
         import numpy as np

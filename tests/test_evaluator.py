@@ -118,3 +118,51 @@ class TestEvaluator:
         cfg = preset("centerpose", category="bottle")
         ev = Evaluator(cfg)
         assert ev.eval_num_symmetry == 100
+
+
+class TestTfrecordEval:
+    def test_evaluate_tfrecords_end_to_end(self, tmp_path):
+        """Toy Objectron tfrecord -> detector -> AP accumulation."""
+        import io
+
+        from PIL import Image
+
+        from centerpose_tpu.data.tfrecord import write_tfrecord
+        from centerpose_tpu.evaluation.evaluator import evaluate_tfrecords
+        from centerpose_tpu.inference.detector import Detector
+        from tests.test_tfrecord import make_example
+
+        rng = np.random.RandomState(0)
+        img = Image.fromarray((rng.rand(96, 128, 3) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+
+        pts2d = np.hstack([rng.rand(9, 2), np.ones((9, 1))])
+        payload = make_example(
+            {
+                "image/encoded": ("bytes", [buf.getvalue()]),
+                "image/id": ("int64", [0]),
+                "image/filename": ("bytes", [b"shoe/batch-1/2/frame"]),
+                "instance_num": ("int64", [1]),
+                "point_num": ("int64", [9]),
+                "point_2d": ("float", pts2d.ravel().tolist()),
+                "point_3d": ("float", rng.rand(9, 3).ravel().tolist()),
+                "object/scale": ("float", [0.1, 0.2, 0.15]),
+                "object/translation": ("float", [0, 0, 1.0]),
+                "object/orientation": ("float", np.eye(3).ravel().tolist()),
+                "object/visibility": ("float", [1.0]),
+                "camera/intrinsics": (
+                    "float", np.array([[120, 0, 48], [0, 120, 64], [0, 0, 1.0]]).ravel().tolist(),
+                ),
+                "plane/center": ("float", [0, -0.1, 1]),
+                "plane/normal": ("float", [0, 1, 0]),
+            }
+        )
+        rec = str(tmp_path / "video.tfrecord")
+        write_tfrecord(rec, [payload])
+
+        cfg = preset("centerpose", input_h=64, input_w=64, K=8, vis_thresh=0.0)
+        detector = Detector(cfg)
+        ev = evaluate_tfrecords(detector, [rec], cfg, is_video=False)
+        assert ev.num_gt == 1
+        assert "iou3d" in ev.report()

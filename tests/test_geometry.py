@@ -153,3 +153,33 @@ class TestGaussian:
             width=16,
         )
         assert float(np.asarray(out).max()) == 0.0
+
+
+class TestCollision:
+    def test_segment_hits_box(self):
+        from centerpose_tpu.geometry.collision import segment_intersects_box
+
+        bmin, bmax = np.array([-1, -1, -1.0]), np.array([1, 1, 1.0])
+        assert segment_intersects_box([-2, 0, 0], [2, 0, 0], bmin, bmax)
+        assert not segment_intersects_box([-2, 2, 0], [2, 2, 0], bmin, bmax)
+        assert segment_intersects_box([0, 0, 0], [5, 5, 5], bmin, bmax)  # starts inside
+        # Parallel to an axis but outside the slab.
+        assert not segment_intersects_box([-2, 0, 3], [2, 0, 3], bmin, bmax)
+
+    def test_oriented_box(self):
+        from centerpose_tpu.geometry.collision import (
+            segment_intersects_oriented_box,
+        )
+
+        c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+        r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        # Thin box rotated 45°: a ray along x at y=1.2 misses the AABB but
+        # orientation matters.
+        hit = segment_intersects_oriented_box(
+            [-3, 0, 0], [3, 0, 0], r, np.zeros(3), np.array([4.0, 0.2, 1.0])
+        )
+        assert hit
+        miss = segment_intersects_oriented_box(
+            [-3, 2.5, 0], [3, 2.5, 0], r, np.zeros(3), np.array([4.0, 0.2, 1.0])
+        )
+        assert not miss
