@@ -69,6 +69,7 @@ class CenterPoseConfig:
     # --- decode / inference ------------------------------------------------------
     K: int = 100                      # top-K centers (opts.py --K)
     rep_mode: int = 1                 # keypoint representation mode (opts.py:211-220)
+    test_scales: Tuple[float, ...] = (1.0,)  # multi-scale testing (opts.py --test_scales)
     vis_thresh: float = 0.3
     hm_hp_thresh: float = 0.1         # decode.py:117 `thresh`
     nms: bool = True                  # soft-NMS in merge_outputs

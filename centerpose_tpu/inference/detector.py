@@ -115,9 +115,22 @@ class Detector:
         return forward_decode
 
     # ------------------------------------------------------------------ pre
-    def pre_process(self, image: np.ndarray, input_meta: Optional[dict] = None):
-        """Fixed-resolution path of base_detector.pre_process (:91-148)."""
+    def pre_process(
+        self, image: np.ndarray, input_meta: Optional[dict] = None,
+        scale: float = 1.0,
+    ):
+        """Fixed-resolution path of base_detector.pre_process (:91-148); `scale`
+        resizes the image first (multi-scale testing)."""
         cfg = self.cfg
+        if scale != 1.0:
+            from PIL import Image
+
+            h0, w0 = image.shape[:2]
+            image = np.asarray(
+                Image.fromarray(np.asarray(image, np.uint8)).resize(
+                    (int(w0 * scale), int(h0 * scale))
+                )
+            )
         height, width = image.shape[:2]
         c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
         s = max(height, width) * 1.0
@@ -187,7 +200,8 @@ class Detector:
     def merge_outputs(self, detections: List[dict]) -> List[dict]:
         """Threshold + soft-NMS (object_pose.py:184-197)."""
         results = [d for d in detections if d["score"] > self.cfg.vis_thresh]
-        if self.cfg.nms and results:
+        # soft-NMS when enabled OR merging multiple test scales (object_pose.py:193).
+        if (self.cfg.nms or len(self.cfg.test_scales) > 1) and results:
             bboxes = np.stack([d["bbox"] for d in results])
             scores = np.array([d["score"] for d in results])
             keep = soft_nms(
@@ -342,27 +356,50 @@ class Detector:
     # ------------------------------------------------------------------ run
     def run(self, image: np.ndarray, meta_inp: Optional[dict] = None) -> Dict[str, Any]:
         cfg = self.cfg
-        times = {}
+        times = {"pre": 0.0, "net": 0.0, "post": 0.0}
         t0 = time.time()
 
-        images, meta = self.pre_process(image, meta_inp)
-        t1 = time.time()
-        times["pre"] = t1 - t0
+        scales = (1.0,) if cfg.tracking_task else tuple(cfg.test_scales)
+        detections = []
+        meta = None
+        for scale in scales:
+            ts = time.time()
+            images, meta_s = self.pre_process(image, meta_inp, scale=scale)
+            if scale == 1.0 or meta is None:
+                meta = meta_s
+            t1 = time.time()
+            times["pre"] += t1 - ts
 
-        images_j = jnp.asarray(images)
-        extra = {}
-        if cfg.tracking_task:
-            pre_hm, pre_hm_hp, pre_images = self._tracking_inputs(images_j, meta)
-            extra = dict(pre_img=pre_images, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp)
-        outputs, dets = self._forward_decode(self.variables, images_j, **extra)
-        dets = {k_: np.asarray(v) for k_, v in dets.items()}
-        t2 = time.time()
-        times["net"] = t2 - t1
+            images_j = jnp.asarray(images)
+            extra = {}
+            if cfg.tracking_task:
+                pre_hm, pre_hm_hp, pre_images = self._tracking_inputs(
+                    images_j, meta_s
+                )
+                extra = dict(pre_img=pre_images, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp)
+            outputs, dets = self._forward_decode(self.variables, images_j, **extra)
+            dets = {k_: np.asarray(v) for k_, v in dets.items()}
+            t2 = time.time()
+            times["net"] += t2 - t1
+
+            scale_dets = self.post_process(dets, meta_s)
+            if scale != 1.0:
+                # Coordinates back to the unscaled image (object_pose.py:174-179).
+                for det in scale_dets:
+                    for key in (
+                        "bbox", "kps", "kps_displacement_std", "tracking",
+                        "tracking_hp", "kps_displacement_mean", "kps_heatmap_mean",
+                    ):
+                        if key in det:
+                            det[key] = np.asarray(det[key], np.float64) / scale
+                    det["ct"] = [
+                        (det["bbox"][0] + det["bbox"][2]) / 2,
+                        (det["bbox"][1] + det["bbox"][3]) / 2,
+                    ]
+            detections.extend(scale_dets)
+            times["post"] += time.time() - t2
         times["dec"] = 0.0  # fused into `net` — one XLA program
-
-        detections = self.post_process(dets, meta)
         t3 = time.time()
-        times["post"] = t3 - t2
 
         results = self.merge_outputs(detections)
         t4 = time.time()

@@ -289,14 +289,16 @@ class HeadConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.head_conv, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
-            name="conv1",
-        )(x)
-        if self.use_gn:
-            groups = 32 if self.head_conv % 32 == 0 else 16
-            x = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="gn")(x)
-        x = nn.relu(x)
+        if self.head_conv > 0:
+            x = nn.Conv(
+                self.head_conv, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                name="conv1",
+            )(x)
+            if self.use_gn:
+                groups = 32 if self.head_conv % 32 == 0 else 16
+                x = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="gn")(x)
+            x = nn.relu(x)
+        # head_conv <= 0: single 1x1 conv head (pose_dla_dcn.py:513-520).
         x = nn.Conv(
             self.classes,
             (1, 1),

@@ -1,0 +1,138 @@
+"""Decode parity: the fused JAX decode vs an independent numpy mirror.
+
+The reference has no importable decode here (its DCNv2 extension isn't built), so
+this mirror re-implements `object_pose_decode`'s semantics (decode.py:72-302)
+directly from the documented behavior in plain numpy, written independently of
+centerpose_tpu.ops.decode — catching transcription errors in either one.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from centerpose_tpu.ops.decode import object_pose_decode
+
+B, H, W, J, K = 2, 24, 24, 8, 6
+
+
+def _sigmoid(x):
+    return np.clip(1.0 / (1.0 + np.exp(-x)), 1e-4, 1 - 1e-4)
+
+
+def _nms_np(heat):
+    out = np.zeros_like(heat)
+    padded = np.pad(heat, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-np.inf)
+    for dy in range(3):
+        for dx in range(3):
+            out = np.maximum(out, padded[:, dy : dy + H, dx : dx + W])
+    return np.where(out == heat, heat, 0.0)
+
+
+def numpy_decode(outputs, k=K, thresh=0.1):
+    """Mirror of decode.py:72-176 (training path, rep_mode 1 blending)."""
+    heat = _sigmoid(outputs["hm"])
+    heat = _nms_np(heat)
+    flat = heat.reshape(B, -1)
+    inds = np.argsort(-flat, axis=1)[:, :k]
+    scores = np.take_along_axis(flat, inds, axis=1)
+    ys = (inds // W).astype(np.float64)
+    xs = (inds % W).astype(np.float64)
+
+    kps_map = outputs["hps"].reshape(B, H * W, 2 * J)
+    kps = np.stack([kps_map[b][inds[b]] for b in range(B)])  # [B,K,2J]
+    kps = kps.reshape(B, k, J, 2) + np.stack([xs, ys], -1)[:, :, None, :]
+    disp_mean = kps.reshape(B, k, 2 * J).copy()
+
+    reg = outputs["reg"].reshape(B, H * W, 2)
+    reg_k = np.stack([reg[b][inds[b]] for b in range(B)])
+    xs_c = xs + reg_k[..., 0]
+    ys_c = ys + reg_k[..., 1]
+    wh = outputs["wh"].reshape(B, H * W, 2)
+    wh_k = np.stack([wh[b][inds[b]] for b in range(B)])
+    bboxes = np.stack(
+        [xs_c - wh_k[..., 0] / 2, ys_c - wh_k[..., 1] / 2,
+         xs_c + wh_k[..., 0] / 2, ys_c + wh_k[..., 1] / 2], -1,
+    )
+
+    # keypoint heatmap branch
+    hm_hp = _sigmoid(outputs["hm_hp"])
+    hm_hp_n = _nms_np(hm_hp)
+    hp_flat = hm_hp_n.transpose(0, 3, 1, 2).reshape(B, J, H * W)
+    hp_inds = np.argsort(-hp_flat, axis=2)[:, :, :k]
+    hm_score = np.take_along_axis(hp_flat, hp_inds, axis=2)
+    hm_ys = (hp_inds // W).astype(np.float64)
+    hm_xs = (hp_inds % W).astype(np.float64)
+    hp_off = outputs["hp_offset"].reshape(B, H * W, 2)
+    for b in range(B):
+        for j in range(J):
+            off = hp_off[b][hp_inds[b, j]]
+            hm_xs[b, j] += off[:, 0]
+            hm_ys[b, j] += off[:, 1]
+    mask = hm_score > thresh
+    hm_score = np.where(mask, hm_score, -1.0)
+    hm_xs = np.where(mask, hm_xs, -10000.0)
+    hm_ys = np.where(mask, hm_ys, -10000.0)
+
+    kps_jk = kps.transpose(0, 2, 1, 3)  # [B,J,K,2]
+    blended = np.zeros_like(kps_jk)
+    for b in range(B):
+        for j in range(J):
+            for kk_ in range(k):
+                d = np.hypot(
+                    kps_jk[b, j, kk_, 0] - hm_xs[b, j],
+                    kps_jk[b, j, kk_, 1] - hm_ys[b, j],
+                )
+                m = int(np.argmin(d))
+                sel = np.array([hm_xs[b, j, m], hm_ys[b, j, m]])
+                sc = hm_score[b, j, m]
+                l, t, r, bm = bboxes[b, kk_]
+                span = max(bm - t, r - l)
+                bad = (
+                    sel[0] < l or sel[0] > r or sel[1] < t or sel[1] > bm
+                    or sc < thresh or d[m] > span * 0.3
+                )
+                blended[b, j, kk_] = kps_jk[b, j, kk_] if bad else sel
+    return {
+        "scores": scores,
+        "xs_c": xs_c,
+        "ys_c": ys_c,
+        "bboxes": bboxes,
+        "kps": blended.transpose(0, 2, 1, 3).reshape(B, k, 2 * J),
+        "kps_displacement_mean": disp_mean,
+    }
+
+
+@pytest.fixture(scope="module")
+def head_outputs():
+    rng = np.random.RandomState(42)
+    return {
+        "hm": rng.randn(B, H, W, 1).astype(np.float32) * 2,
+        "hps": (rng.randn(B, H, W, 2 * J) * 3).astype(np.float32),
+        "wh": np.abs(rng.randn(B, H, W, 2) * 4).astype(np.float32) + 2,
+        "reg": rng.rand(B, H, W, 2).astype(np.float32),
+        "hm_hp": rng.randn(B, H, W, J).astype(np.float32) * 2,
+        "hp_offset": rng.rand(B, H, W, 2).astype(np.float32),
+        "scale": rng.rand(B, H, W, 3).astype(np.float32),
+    }
+
+
+class TestDecodeParity:
+    def test_matches_numpy_mirror(self, head_outputs):
+        ref = numpy_decode(head_outputs)
+        got = object_pose_decode(
+            {k_: jnp.asarray(v) for k_, v in head_outputs.items()},
+            k=K, rep_mode=1, inference=False, apply_sigmoid=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["scores"])[..., 0], ref["scores"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["bboxes"]), ref["bboxes"], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["kps_displacement_mean"]),
+            ref["kps_displacement_mean"],
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(got["kps"]), ref["kps"], atol=1e-4)

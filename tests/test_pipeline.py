@@ -103,3 +103,21 @@ class TestVisualize:
         cam = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
         out2 = draw_axes(img, np.eye(3), np.array([0, 0, 1.0]), cam)
         assert out2.max() > 0
+
+
+class TestMultiScale:
+    def test_two_scale_inference(self):
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.inference.detector import Detector
+
+        cfg = preset(
+            "centerpose", input_h=64, input_w=64, K=8, vis_thresh=0.0,
+            test_scales=(1.0, 0.75),
+        )
+        det = Detector(cfg)
+        rng = np.random.RandomState(0)
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        out = det.run(img)
+        assert "results" in out
+        # meta kept at scale 1 geometry
+        assert out["meta"]["width"] == 128
