@@ -43,7 +43,33 @@ def parse_args():
                    help="evaluate Objectron tfrecords (glob) instead of --data_dir")
     p.add_argument("--stats_save", default="",
                    help="dump raw hit/conf records for scripts/group_report.py")
+    p.add_argument("--n_proc", type=int, default=1,
+                   help="tfrecord mode: evaluate videos in N worker processes "
+                        "(eval_video_official.py:1639-1675 parity)")
     return p.parse_args()
+
+
+def _eval_shard(records, cfg, max_images, tracking, ablation, load_model="") -> str:
+    """Worker: evaluate a video shard, return raw stats json (spawn-safe)."""
+    import tempfile
+
+    from centerpose_tpu.evaluation.evaluator import evaluate_tfrecords
+    from centerpose_tpu.inference.detector import Detector
+
+    variables = None
+    if load_model:
+        from demo import _load_variables
+
+        variables = _load_variables(load_model, cfg)
+    detector = Detector(cfg, variables)
+    ev = evaluate_tfrecords(
+        detector, records, cfg, max_images=max_images or None,
+        is_video=tracking, ablation=ablation,
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=True) as f:
+        ev.save_stats(f.name)
+        with open(f.name) as fr:
+            return fr.read()
 
 
 def main():
@@ -97,12 +123,43 @@ def main():
             import glob as _glob
 
             records = sorted(_glob.glob(args.tfrecords))
-            evaluator = evaluate_tfrecords(
-                detector, records, cfg,
-                max_images=args.max_images or None,
-                is_video=args.tracking,
-                ablation=ablation,
-            )
+            if args.n_proc > 1 and len(records) > 1:
+                # Embarrassingly-parallel per-video shards, merged via the raw
+                # hit/conf records (no inter-process communication — SURVEY §2.2).
+                import multiprocessing as mp
+
+                shards = [records[i :: args.n_proc] for i in range(args.n_proc)]
+                ctx = mp.get_context("spawn")
+                with ctx.Pool(args.n_proc) as pool:
+                    payloads = pool.starmap(
+                        _eval_shard,
+                        [
+                            (shard, cfg, args.max_images, args.tracking,
+                             ablation, args.load_model)
+                            for shard in shards
+                            if shard
+                        ],
+                    )
+                from centerpose_tpu.evaluation.evaluator import Evaluator
+
+                evaluator = Evaluator(cfg)
+                import tempfile
+
+                for payload in payloads:
+                    with tempfile.NamedTemporaryFile(
+                        "w", suffix=".json", delete=False
+                    ) as f:
+                        f.write(payload)
+                        path = f.name
+                    evaluator.load_and_merge(path)
+                    os.unlink(path)
+            else:
+                evaluator = evaluate_tfrecords(
+                    detector, records, cfg,
+                    max_images=args.max_images or None,
+                    is_video=args.tracking,
+                    ablation=ablation,
+                )
         else:
             evaluator = evaluate_dataset(
                 detector,
