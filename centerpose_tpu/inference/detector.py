@@ -446,6 +446,33 @@ class Detector:
         pre_hm, pre_hm_hp = render_previous_heatmaps(tracks, meta, cfg)
         return pre_hm, pre_hm_hp, self.pre_images
 
+    def run_batch(
+        self, images: List[np.ndarray], metas: Optional[List[dict]] = None
+    ) -> List[Dict[str, Any]]:
+        """Batched folder/offline inference: ONE jitted forward+decode over the
+        whole batch, then per-image host post-processing and one batched PnP.
+
+        The reference's folder mode loops single images (demo.py:45-57); batching
+        the network pass is the TPU-native serving path (BASELINE config 2).
+        """
+        cfg = self.cfg
+        assert not cfg.tracking_task, "batched mode is for the image model"
+        metas = metas or [None] * len(images)
+
+        pre = [self.pre_process(img, m) for img, m in zip(images, metas)]
+        batch = jnp.asarray(np.concatenate([p[0] for p in pre], axis=0))
+        _, dets = self._forward_decode(self.variables, batch)
+        dets = {k_: np.asarray(v) for k_, v in dets.items()}
+
+        outs = []
+        for i, (_, meta) in enumerate(pre):
+            dets_i = {k_: v[i : i + 1] for k_, v in dets.items()}
+            detections = self.post_process(dets_i, meta)
+            results = self.merge_outputs(detections)
+            boxes = self.run_pnp(results, meta)
+            outs.append({"results": results, "boxes": boxes, "meta": meta})
+        return outs
+
     def reset_tracking(self):
         self.pre_images = None
         if self.tracker is not None:

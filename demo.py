@@ -27,6 +27,10 @@ def parse_args():
     p.add_argument("--out_dir", default="demo_out")
     p.add_argument("--save_json", action="store_true", default=True)
     p.add_argument("--debug", type=int, default=0, help=">0 saves visualizations")
+    p.add_argument(
+        "--batch_size", type=int, default=1,
+        help="folder mode: batch the network pass over N images (TPU serving path)",
+    )
     return p.parse_args()
 
 
@@ -113,13 +117,13 @@ def main():
 
     from PIL import Image
 
-    for path, img in _frames(args):
-        out = detector.run(img, meta or None)
-        times = out["times"]
-        print(
-            f"{os.path.basename(path)}: "
-            + "|".join(f"{k} {v:.3f}s" for k, v in times.items())
-        )
+    def emit(path, img, out):
+        times = out.get("times")
+        if times:
+            print(
+                f"{os.path.basename(path)}: "
+                + "|".join(f"{k} {v:.3f}s" for k, v in times.items())
+            )
         if args.save_json:
             record = {
                 "image": path,
@@ -144,6 +148,25 @@ def main():
             vis = draw_detections(img, out["results"], out["boxes"])
             base = os.path.splitext(os.path.basename(path))[0]
             Image.fromarray(vis).save(os.path.join(args.out_dir, base + ".png"))
+
+    if args.batch_size > 1 and not args.tracking:
+        buf = []
+        for path, img in _frames(args):
+            buf.append((path, img))
+            if len(buf) == args.batch_size:
+                outs = detector.run_batch([im for _, im in buf], [meta or None] * len(buf))
+                for (pth, im), out in zip(buf, outs):
+                    emit(pth, im, out)
+                buf = []
+        if buf:
+            outs = detector.run_batch([im for _, im in buf], [meta or None] * len(buf))
+            for (pth, im), out in zip(buf, outs):
+                emit(pth, im, out)
+        return
+
+    for path, img in _frames(args):
+        out = detector.run(img, meta or None)
+        emit(path, img, out)
 
 
 if __name__ == "__main__":

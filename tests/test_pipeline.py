@@ -121,3 +121,18 @@ class TestMultiScale:
         assert "results" in out
         # meta kept at scale 1 geometry
         assert out["meta"]["width"] == 128
+
+
+class TestBatchedInference:
+    def test_run_batch(self):
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.inference.detector import Detector
+
+        cfg = preset("centerpose", input_h=64, input_w=64, K=8, vis_thresh=0.0)
+        det = Detector(cfg)
+        rng = np.random.RandomState(0)
+        imgs = [(rng.rand(96, 128, 3) * 255).astype(np.uint8) for _ in range(3)]
+        outs = det.run_batch(imgs)
+        assert len(outs) == 3
+        for out in outs:
+            assert "results" in out and "boxes" in out
