@@ -198,27 +198,30 @@ def dcn_sample_windowed_pallas(
 
 
 def _windowed_vmem_kernel(idx_ref, wgt_ref, x_ref, out_ref, *, span, w, kk, c):
-    """Same math as _windowed_row_kernel but slicing the VMEM-resident padded
-    feature map directly (row ri + window row sy, column shift sx)."""
+    """Windowed shifted-FMA over the VMEM-resident padded feature map.
+
+    The x-shift `sx` is a STATIC python unroll (dynamic starts on the tiled
+    sublane dim miscompile on the current libtpu); only the row index is dynamic
+    (`ri + sy`, on the untiled dim) inside a fori_loop over sy.
+    """
     ri = pl.program_id(1)
     for t in range(kk):
         idx_t = idx_ref[0, 0, t]  # [W, 4]
         wgt_t = wgt_ref[0, 0, t]
 
-        def cell_body(cell, acc):
-            sy = cell // span
-            sx = cell % span
-            code = sy * (span + 1) + sx
-            wsum = jnp.zeros((w, 1), jnp.float32)
-            for corner in range(4):
-                hit = idx_t[:, corner][:, None] == code
-                wsum += jnp.where(hit, wgt_t[:, corner][:, None], 0.0)
-            seg = x_ref[0, pl.ds(ri + sy, 1), pl.ds(sx, w), :].reshape(w, c)
-            return acc + seg * wsum
+        acc = jnp.zeros((w, c), jnp.float32)
+        for sx in range(span):
 
-        acc = jax.lax.fori_loop(
-            0, span * span, cell_body, jnp.zeros((w, c), jnp.float32)
-        )
+            def row_body(sy, acc, _sx=sx):
+                code = sy * (span + 1) + _sx
+                wsum = jnp.zeros((w, 1), jnp.float32)
+                for corner in range(4):
+                    hit = idx_t[:, corner][:, None] == code
+                    wsum += jnp.where(hit, wgt_t[:, corner][:, None], 0.0)
+                seg = x_ref[0, pl.ds(ri + sy, 1), _sx : _sx + w, :].reshape(w, c)
+                return acc + seg * wsum
+
+            acc = jax.lax.fori_loop(0, span, row_body, acc)
         out_ref[0, 0, t] = acc.astype(out_ref.dtype)
 
 

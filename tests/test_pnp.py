@@ -170,3 +170,39 @@ class TestSolvePnP:
             jnp.asarray(CAMERA),
         )
         np.testing.assert_allclose(np.asarray(res.projected), pts2d, atol=0.3)
+
+
+class TestLMOptimality:
+    def test_solution_is_stationary_point(self):
+        """At the LM solution the reprojection-error gradient is ~0 — the same
+        local-optimum criterion cv2's ITERATIVE refinement satisfies."""
+        import jax
+        import jax.numpy as jnp
+
+        from centerpose_tpu.ops.pnp import _project, _rvec_from_matrix, rodrigues
+
+        rng = np.random.RandomState(11)
+        cuboid = cuboid_vertices((0.4, 1.0, 0.6))
+        r_gt, t_gt = _random_pose(rng)
+        pts2d = _project_np(cuboid, r_gt, t_gt) + rng.randn(8, 2) * 1.0
+
+        res = solve_pnp_single(
+            jnp.asarray(pts2d, jnp.float32),
+            jnp.asarray(cuboid, jnp.float32),
+            jnp.asarray(CAMERA),
+        )
+
+        params = jnp.concatenate(
+            [_rvec_from_matrix(res.rotation), res.translation]
+        )
+
+        def cost(p):
+            proj = _project(
+                jnp.asarray(cuboid, jnp.float32), rodrigues(p[:3]), p[3:],
+                jnp.asarray(CAMERA),
+            )
+            return jnp.sum((proj - jnp.asarray(pts2d, jnp.float32)) ** 2)
+
+        g = np.asarray(jax.grad(cost)(params))
+        # Gradient scale: cost ~ O(10²) px²; stationary within LM tolerance.
+        assert np.abs(g).max() < 2.0, g
