@@ -200,29 +200,29 @@ def dcn_sample_windowed_pallas(
 def _windowed_vmem_kernel(idx_ref, wgt_ref, x_ref, out_ref, *, span, w, kk, c):
     """Windowed shifted-FMA over the VMEM-resident padded feature map.
 
-    The x-shift `sx` is a STATIC python unroll (dynamic starts on the tiled
-    sublane dim miscompile on the current libtpu); only the row index is dynamic
-    (`ri + sy`, on the untiled dim) inside a fori_loop over sy.
+    Fully static span×span unroll (scalar loop carries dominate a fori version by
+    ~40x here) with the tap dimension VECTORIZED: every window cell issues ONE
+    [KK, W, C] fused multiply-add on the VPU. Only the band row read is dynamic
+    (`ri + sy` on the untiled dim — dynamic starts on the tiled sublane dim are
+    avoided by the static x-shift slices).
     """
     ri = pl.program_id(1)
-    for t in range(kk):
-        idx_t = idx_ref[0, 0, t]  # [W, 4]
-        wgt_t = wgt_ref[0, 0, t]
+    idx_all = idx_ref[0, 0]  # [KK, W, 4]
+    wgt_all = wgt_ref[0, 0]
 
-        acc = jnp.zeros((w, c), jnp.float32)
+    acc = jnp.zeros((kk, w, c), jnp.float32)
+    for sy in range(span):
+        row = x_ref[0, pl.ds(ri + sy, 1), :, :]  # [1, w_band_pad, C]
+        row = row.reshape(row.shape[1], c)
         for sx in range(span):
-
-            def row_body(sy, acc, _sx=sx):
-                code = sy * (span + 1) + _sx
-                wsum = jnp.zeros((w, 1), jnp.float32)
-                for corner in range(4):
-                    hit = idx_t[:, corner][:, None] == code
-                    wsum += jnp.where(hit, wgt_t[:, corner][:, None], 0.0)
-                seg = x_ref[0, pl.ds(ri + sy, 1), _sx : _sx + w, :].reshape(w, c)
-                return acc + seg * wsum
-
-            acc = jax.lax.fori_loop(0, span, row_body, acc)
-        out_ref[0, 0, t] = acc.astype(out_ref.dtype)
+            code = sy * (span + 1) + sx
+            wsum = jnp.zeros((kk, w), jnp.float32)
+            for corner in range(4):
+                hit = idx_all[:, :, corner] == code
+                wsum += jnp.where(hit, wgt_all[:, :, corner], 0.0)
+            seg = row[sx : sx + w, :]  # [W, C] static slice of the row value
+            acc += seg[None, :, :] * wsum[:, :, None]
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 
