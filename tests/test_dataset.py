@@ -151,3 +151,21 @@ class TestTrackingDataset:
             # int-rounding of centers (< 2 px at output res).
             t = np.abs(item["tracking"][0][tm > 0])
             assert t.max() < 2.5
+
+    def test_detector_in_loop_generation(self, toy_dataset):
+        """data_generation_mode 1: previous heatmaps from a detector's outputs."""
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.inference.detector import Detector
+
+        cfg_det = preset("centerpose", input_h=64, input_w=64, K=8, vis_thresh=0.0)
+        det = Detector(cfg_det)
+        cfg = preset("centerpose_track", input_h=64, input_w=64, category="shoe")
+        ds = ObjectPoseDataset(
+            toy_dataset, cfg, split="val", detector=det,
+            data_generation_mode_ratio=1.0,
+        )
+        item = ds[0]
+        assert item is not None
+        assert item["pre_hm"].shape == (64, 64, 1)
+        # Untrained detector still produces detections at vis_thresh 0 -> some heat.
+        assert item["pre_hm"].max() >= 0.0
