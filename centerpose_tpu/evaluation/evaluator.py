@@ -12,9 +12,10 @@ and eval_video_official.py:159-1560):
     per GT instance (eval_video_official.py:811-853);
   * text AP report (`write_report`, :1098-1169).
 
-Data source: DOPE-style png+json pairs (the reference's own offline-preprocessed
-format, data/preprocess.py) rather than TF records — the environment has no
-TensorFlow; tfrecord ingestion is a documented gap to be closed by a native reader.
+Data sources: DOPE-style png+json pairs (the reference's own offline-preprocessed
+format, data/preprocess.py) via `evaluate_dataset`, or Objectron TFRecords via
+`evaluate_tfrecords` using the dependency-free reader in
+centerpose_tpu/data/tfrecord.py (the environment has no TensorFlow).
 """
 
 from __future__ import annotations
@@ -329,6 +330,7 @@ def evaluate_tfrecords(
     max_images: Optional[int] = None,
     is_video: bool = False,
     ablation: Optional[EvalAblation] = None,
+    eval_num_symmetry: Optional[int] = None,
 ) -> Evaluator:
     """Objectron tfrecord evaluation path (eval_image_official.py:1186-1211 /
     eval_video_official.py Dataloader), using the native TFRecord reader
@@ -339,7 +341,7 @@ def evaluate_tfrecords(
 
     from centerpose_tpu.data.tfrecord import parse_objectron_example, read_tfrecord
 
-    evaluator = Evaluator(config)
+    evaluator = Evaluator(config, eval_num_symmetry)
     ablation = ablation or EvalAblation()
     rng = np.random.RandomState(0)
     count = 0
@@ -402,13 +404,14 @@ def evaluate_dataset(
     config: CenterPoseConfig,
     max_images: Optional[int] = None,
     is_video: bool = False,
+    eval_num_symmetry: Optional[int] = None,
 ) -> Evaluator:
     """Run the detector over a DOPE-style dataset directory and accumulate AP."""
     from PIL import Image
 
     from centerpose_tpu.data.dataset import find_samples
 
-    evaluator = Evaluator(config)
+    evaluator = Evaluator(config, eval_num_symmetry)
     samples = find_samples(data_root)
     if max_images:
         samples = samples[:max_images]

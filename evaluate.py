@@ -49,7 +49,8 @@ def parse_args():
     return p.parse_args()
 
 
-def _eval_shard(records, cfg, max_images, tracking, ablation, load_model="") -> str:
+def _eval_shard(records, cfg, max_images, tracking, ablation, load_model="",
+                eval_num_symmetry=None) -> str:
     """Worker: evaluate a video shard, return raw stats json (spawn-safe)."""
     import tempfile
 
@@ -65,6 +66,7 @@ def _eval_shard(records, cfg, max_images, tracking, ablation, load_model="") -> 
     ev = evaluate_tfrecords(
         detector, records, cfg, max_images=max_images or None,
         is_video=tracking, ablation=ablation,
+        eval_num_symmetry=eval_num_symmetry,
     )
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=True) as f:
         ev.save_stats(f.name)
@@ -135,7 +137,8 @@ def main():
                         _eval_shard,
                         [
                             (shard, cfg, args.max_images, args.tracking,
-                             ablation, args.load_model)
+                             ablation, args.load_model,
+                             args.eval_num_symmetry or None)
                             for shard in shards
                             if shard
                         ],
@@ -159,6 +162,7 @@ def main():
                     max_images=args.max_images or None,
                     is_video=args.tracking,
                     ablation=ablation,
+                    eval_num_symmetry=args.eval_num_symmetry or None,
                 )
         else:
             evaluator = evaluate_dataset(
@@ -167,6 +171,7 @@ def main():
                 cfg,
                 max_images=args.max_images or None,
                 is_video=args.tracking,
+                eval_num_symmetry=args.eval_num_symmetry or None,
             )
         report = evaluator.report()
         print(report)
