@@ -91,6 +91,22 @@ def overlay_heatmap(image: np.ndarray, heatmap: np.ndarray, alpha=0.5) -> np.nda
     return out.clip(0, 255).astype(np.uint8)
 
 
+def draw_tracking_arrows(image: np.ndarray, results) -> np.ndarray:
+    """Arrows from each detection's center to its previous-frame position
+    (ct + tracking offset) — the Debugger's tracking view (debugger.py arrows)."""
+    img = np.ascontiguousarray(np.asarray(image, np.uint8).copy())
+    for i, det in enumerate(results):
+        if "tracking" not in det:
+            continue
+        color = _COLORS[i % len(_COLORS)]
+        ct = np.asarray(det["ct"], np.float64)
+        prev = ct + np.asarray(det["tracking"], np.float64)
+        _draw_line(img, ct, prev, color, 2)
+        _draw_point(img, prev, color, 3)
+        _draw_point(img, ct, (255, 255, 255), 2)
+    return img
+
+
 def draw_axes(
     image: np.ndarray,
     rotation: np.ndarray,

@@ -42,18 +42,24 @@ def main():
     p.add_argument("--tracking", action="store_true")
     p.add_argument("--report_dir", default="reports")
     p.add_argument("--max_images", type=int, default=0)
+    p.add_argument("--eval_continue", action="store_true",
+                   help="skip category/mode combos whose report file already exists "
+                        "(--eval_continue parity, eval_video_official.py:1599-1602)")
     args = p.parse_args()
 
     os.makedirs(args.report_dir, exist_ok=True)
     for cat in args.categories:
         for mode in args.modes:
+            report = os.path.join(args.report_dir, f"{cat}_mode{mode}.txt")
+            if args.eval_continue and os.path.exists(report):
+                print("SKIP (exists)", report)
+                continue
             cmd = [
                 sys.executable, "evaluate.py",
                 "--mode", "metric",
                 "--data_dir", os.path.join(args.data_root, cat),
                 "--c", cat,
-                "--report_file",
-                os.path.join(args.report_dir, f"{cat}_mode{mode}.txt"),
+                "--report_file", report,
             ]
             if args.model_root:
                 cmd += ["--load_model", os.path.join(args.model_root, cat)]
