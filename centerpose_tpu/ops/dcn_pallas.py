@@ -214,6 +214,10 @@ def _windowed_vmem_kernel(idx_ref, wgt_ref, x_ref, out_ref, *, span, w, kk, c):
     for sy in range(span):
         row = x_ref[0, pl.ds(ri + sy, 1), :, :]  # [1, w_band_pad, C]
         row = row.reshape(row.shape[1], c)
+        # One accumulator update per band row: the span x-shift products are
+        # summed as a single fused expression, avoiding a [KK, W, C] VMEM
+        # round-trip per window cell.
+        row_sum = None
         for sx in range(span):
             code = sy * (span + 1) + sx
             wsum = jnp.zeros((kk, w), jnp.float32)
@@ -221,7 +225,9 @@ def _windowed_vmem_kernel(idx_ref, wgt_ref, x_ref, out_ref, *, span, w, kk, c):
                 hit = idx_all[:, :, corner] == code
                 wsum += jnp.where(hit, wgt_all[:, :, corner], 0.0)
             seg = row[sx : sx + w, :]  # [W, C] static slice of the row value
-            acc += seg[None, :, :] * wsum[:, :, None]
+            term = seg[None, :, :] * wsum[:, :, None]
+            row_sum = term if row_sum is None else row_sum + term
+        acc += row_sum
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
