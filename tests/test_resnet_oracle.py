@@ -52,3 +52,29 @@ class TestOracle:
         rec = np.asarray(jax.nn.sigmoid(out["hm"]))
         assert rec[0, 3, 3, 0] > 0.99
         assert rec[0, 0, 0, 0] < 0.01
+
+
+class TestHourglass:
+    def test_hourglass_forward(self):
+        # 5 pooling levels require inputs >= 128 (the reference trains at 512).
+        cfg = preset("centerpose_dla", arch="hourglass", input_h=128, input_w=128,
+                     head_conv=64)
+        model = create_model(cfg)
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(variables, x)
+        # stride-4 heads from the last stack
+        assert out["hm"].shape == (1, 32, 32, 1)
+        assert out["hps"].shape == (1, 32, 32, 16)
+
+    def test_hourglass_all_stacks(self):
+        from centerpose_tpu.models.hourglass import HourglassNet
+
+        cfg = preset("centerpose_dla", arch="hourglass", input_h=128, input_w=128,
+                     head_conv=64)
+        model = HourglassNet(cfg, return_all_stacks=True)
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        outs = model.apply(variables, x)
+        assert len(outs) == 2  # intermediate supervision (num_stacks)
+        assert outs[0]["hm"].shape == outs[1]["hm"].shape
