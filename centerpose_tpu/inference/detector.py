@@ -459,8 +459,33 @@ class Detector:
         assert not cfg.tracking_task, "batched mode is for the image model"
         metas = metas or [None] * len(images)
 
-        pre = [self.pre_process(img, m) for img, m in zip(images, metas)]
-        batch = jnp.asarray(np.concatenate([p[0] for p in pre], axis=0))
+        # Device-side preprocessing: the affine crop + normalization runs as one
+        # jitted program (the reference warps per image on the CPU,
+        # base_detector.py:127-133 — a serving bottleneck on weak hosts).
+        from centerpose_tpu.ops.resample import preprocess_on_device
+
+        pre_meta = []
+        inv_transforms = []
+        for img, m in zip(images, metas):
+            height, width = img.shape[:2]
+            c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
+            s = max(height, width) * 1.0
+            meta = {
+                "c": c, "s": s, "height": height, "width": width,
+                "out_height": cfg.input_h // cfg.down_ratio,
+                "out_width": cfg.input_w // cfg.down_ratio,
+                "camera_matrix": DEFAULT_CAMERA,
+            }
+            if m:
+                meta.update(m)
+            pre_meta.append(meta)
+            inv_transforms.append(
+                get_affine_transform(c, s, 0, (cfg.input_w, cfg.input_h), inv=True)
+            )
+        batch = preprocess_on_device(
+            images, inv_transforms, cfg.input_h, cfg.input_w
+        )
+        pre = list(zip([None] * len(images), pre_meta))
         _, dets = self._forward_decode(self.variables, batch)
         dets = {k_: np.asarray(v) for k_, v in dets.items()}
 

@@ -136,3 +136,25 @@ class TestBatchedInference:
         assert len(outs) == 3
         for out in outs:
             assert "results" in out and "boxes" in out
+
+
+class TestDeviceResample:
+    def test_device_warp_matches_host(self):
+        from centerpose_tpu.geometry.affine import get_affine_transform, warp_affine
+        from centerpose_tpu.ops.resample import warp_affine_device
+
+        rng = np.random.RandomState(0)
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        c = np.array([64.0, 48.0])
+        s = 128.0
+        fwd = get_affine_transform(c, s, 0, (64, 64))
+        inv = get_affine_transform(c, s, 0, (64, 64), inv=True)
+
+        host = warp_affine(img.astype(np.float32), fwd, (64, 64))
+        import jax.numpy as jnp
+
+        dev = np.asarray(
+            warp_affine_device(jnp.asarray(img), jnp.asarray(inv, jnp.float32),
+                               64, 64, normalize=False)
+        )
+        np.testing.assert_allclose(dev, host, atol=0.5)  # uint8 bilinear tolerance
