@@ -181,15 +181,21 @@ class Evaluator:
             iou = iou_with_symmetry_sweep(box_pred, box_gt, self.eval_num_symmetry)
             self.hm["iou3d"].record_hit_miss(iou, conf, greater=True)
 
+            mo2c = np.eye(4)
+            mo2c[:3, :3] = gt.rotation
+            mo2c[:3, 3] = gt.translation
             pix = pixel_error_2d(
                 proj9, gt.kps_2d_norm,
-                num_symmetry=4 if self.eval_num_symmetry > 1 else 1,
+                num_symmetry=self.eval_num_symmetry,
+                kps_gt_3d=gt.kps_3d_cam,
+                Mo2c=mo2c,
             )
             self.hm["pixel2d"].record_hit_miss(pix, conf, greater=False)
 
             az, po = azimuth_polar_error(
                 box_pred.rotation, gt.rotation,
-                num_symmetry=min(self.eval_num_symmetry, 36),
+                num_symmetry=self.eval_num_symmetry,
+                t_pred=box_pred.translation, t_gt=gt.translation,
             )
             self.hm["azimuth"].record_hit_miss(az, conf, greater=False)
             self.hm["polar"].record_hit_miss(po, conf, greater=False)

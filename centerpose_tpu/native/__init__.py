@@ -32,20 +32,33 @@ _LIB_NAME = "libcenterpose_native.so"
 
 
 def _build() -> Optional[str]:
+    # The cache is keyed on a content hash of the sources (stamped next to the
+    # .so), NOT on mtimes: git does not preserve mtimes, and `-march=native`
+    # output must never be loaded stale or on a different host's checkout.
+    import hashlib
+
     src_dir = os.path.abspath(_SRC_DIR)
     out = os.path.join(src_dir, _LIB_NAME)
+    stamp = out + ".sha256"
     srcs = [os.path.join(src_dir, s) for s in _SOURCES]
     if not all(os.path.exists(s) for s in srcs):
         return None
-    if os.path.exists(out) and all(
-        os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs
-    ):
-        return out
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()
+    if os.path.exists(out) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest:
+                return out
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", out] + srcs
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (subprocess.SubprocessError, FileNotFoundError):
         return None
+    with open(stamp, "w") as f:
+        f.write(digest)
     return out
 
 

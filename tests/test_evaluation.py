@@ -114,16 +114,32 @@ class TestMetricDefs:
     def test_scale_error_positive(self):
         assert scale_error([1, 1, 1], [1, 1, 2]) > 0
 
+    def test_scale_error_is_summed(self):
+        # evaluate_scale uses np.sum over the 3 height-normalized dims
+        # (eval_image_official.py:668), not a mean.
+        err = scale_error([1.1, 1.0, 1.0], [1.0, 1.0, 1.0])
+        assert err == pytest.approx(0.1, abs=1e-9)
+        err3 = scale_error([1.1, 1.0, 1.1], [1.0, 1.0, 1.0])
+        assert err3 == pytest.approx(0.2, abs=1e-9)
+
     def test_pixel_error_zero(self):
         kps = np.random.RandomState(0).rand(9, 2)
         assert pixel_error_2d(kps, kps) == pytest.approx(0.0)
 
-    def test_pixel_error_symmetry_sweep(self):
+    def test_pixel_error_excludes_center(self):
+        # The reference averages over box[1:] (the 8 corners) only.
+        kps = np.random.RandomState(0).rand(9, 2)
+        moved = kps.copy()
+        moved[0] += 10.0  # perturb only the center
+        assert pixel_error_2d(moved, kps) == pytest.approx(0.0)
+
+    def test_pixel_error_symmetry_sweep_permutation(self):
         rng = np.random.RandomState(1)
         kps = rng.rand(9, 2)
-        # Permute the GT rings by one symmetry step: swept error ~ 0.
-        bottom = [1, 5, 7, 3]
-        top = [2, 6, 8, 4]
+        # Permute the GT rings by one +90° y-rotation step (1→2→6→5, 3→4→8→7):
+        # swept error ~ 0 under the label-permutation fallback.
+        bottom = [1, 2, 6, 5]
+        top = [3, 4, 8, 7]
         perm = np.arange(9)
         for src, dst in zip(bottom, np.roll(bottom, -1)):
             perm[src] = dst
@@ -135,22 +151,88 @@ class TestMetricDefs:
         )
         assert pixel_error_2d(kps, permuted, num_symmetry=1) > 0.01
 
+    def test_pixel_error_reprojection_sweep(self):
+        # With 3D GT + Mo2c available, the sweep rotates the 3D box about its
+        # local y axis and reprojects (reference evaluate_2d semantics). A pred
+        # that equals the GT rotated by 2π/12 must score ~0 at num_symmetry=12
+        # (a label permutation cannot express a 30° rotation).
+        rng = np.random.RandomState(2)
+        scale = np.array([0.4, 0.7, 0.4])
+        rot = _box(yaw=0.3).rotation
+        t = np.array([0.05, -0.02, -1.5])
+        corners_local = (
+            np.array(
+                [[0, 0, 0]]
+                + [
+                    [sx, sy, sz]
+                    for sx in (-0.5, 0.5)
+                    for sy in (-0.5, 0.5)
+                    for sz in (-0.5, 0.5)
+                ]
+            )
+            * scale
+        )
+        pts_cam = corners_local @ rot.T + t
+        # Simple pinhole: normalized uv = (x / -z, y / -z) * f + c.
+        def project(p):
+            return np.stack(
+                [0.8 * p[:, 0] / -p[:, 2] + 0.5, 0.8 * p[:, 1] / -p[:, 2] + 0.5],
+                axis=1,
+            )
+
+        gt2d = project(pts_cam)
+        mo2c = np.eye(4)
+        mo2c[:3, :3] = rot
+        mo2c[:3, 3] = t
+        theta = 2 * np.pi / 12
+        ry = np.array(
+            [
+                [np.cos(theta), 0, np.sin(theta)],
+                [0, 1, 0],
+                [-np.sin(theta), 0, np.cos(theta)],
+            ]
+        )
+        pts_rot = (corners_local @ ry.T) @ rot.T + t
+        pred2d = project(pts_rot)
+        err12 = pixel_error_2d(
+            pred2d, gt2d, num_symmetry=12, kps_gt_3d=pts_cam, Mo2c=mo2c
+        )
+        err1 = pixel_error_2d(
+            pred2d, gt2d, num_symmetry=1, kps_gt_3d=pts_cam, Mo2c=mo2c
+        )
+        assert err12 == pytest.approx(0.0, abs=1e-8)
+        assert err1 > 1e-3
+
     def test_add_metrics(self):
         p = np.zeros((8, 3))
         g = np.ones((8, 3))
         assert add_metric(p, g) == pytest.approx(np.sqrt(3))
         assert adds_metric(p, p + 0.001) < 0.01
 
-    def test_azimuth_polar_zero_for_same_rotation(self):
+    def test_azimuth_polar_zero_for_same_pose(self):
         r = _box(yaw=0.5).rotation
-        az, po = azimuth_polar_error(r, r)
+        t = np.array([0.1, 0.2, -2.0])
+        az, po = azimuth_polar_error(r, r, t_pred=t, t_gt=t)
         assert az == pytest.approx(0.0, abs=1e-6)
         assert po == pytest.approx(0.0, abs=1e-6)
 
-    def test_azimuth_symmetry_sweep(self):
+    def test_azimuth_symmetry_fold(self):
+        # A 90° yaw at fixed camera position folds to 0 under num_symmetry=4
+        # via the reference's |Δ| % (360/n) (evaluate_viewpoint), and to 30°
+        # fold residual 0 under n=12 for a 30° yaw.
         r1 = _box(yaw=0.0).rotation
         r2 = _box(yaw=np.pi / 2).rotation
-        az_raw, _ = azimuth_polar_error(r1, r2, num_symmetry=1)
-        az_swept, _ = azimuth_polar_error(r1, r2, num_symmetry=4)
+        t = np.array([0.0, 0.0, -2.0])
+        az_raw, _ = azimuth_polar_error(r1, r2, num_symmetry=1, t_pred=t, t_gt=t)
+        az_fold, _ = azimuth_polar_error(r1, r2, num_symmetry=4, t_pred=t, t_gt=t)
         assert az_raw == pytest.approx(90.0, abs=1e-4)
-        assert az_swept == pytest.approx(0.0, abs=1e-4)
+        assert az_fold == pytest.approx(0.0, abs=1e-4)
+
+    def test_azimuth_fold_large_symmetry(self):
+        # num_symmetry=100 (bottle/cup default): residual error is the exact
+        # modulo fold, ≤ 1.8°, with no 36-rotation quantization.
+        r1 = _box(yaw=0.0).rotation
+        r2 = _box(yaw=np.radians(10.0)).rotation
+        t = np.array([0.0, 0.0, -2.0])
+        az, _ = azimuth_polar_error(r1, r2, num_symmetry=100, t_pred=t, t_gt=t)
+        assert az == pytest.approx(10.0 % 3.6, abs=1e-4)
