@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from centerpose_tpu.config import CenterPoseConfig
 from centerpose_tpu.models.conv_gru import ConvGRU
-from centerpose_tpu.models.dla import DLA, DLA34_CHANNELS, DLAUp, IDAUp
+from centerpose_tpu.models.dla import DLA, DLA34_CHANNELS, DLAUp, DLAUpV0, IDAUp
 from centerpose_tpu.models.layers import HeadConv
 
 FIRST_LEVEL = 2  # log2(down_ratio=4)
@@ -39,6 +39,41 @@ _GRU_GROUPS_TRACK = (
     ("hm_hp", "hp_offset", "hps", "hps_uncertainty"),
     ("scale", "scale_uncertainty"),
 )
+
+
+class CenterPoseNetV0(nn.Module):
+    """dlav0_34: DLA-34 trunk + the plain-conv concat-node neck (dlav0.py DLASeg,
+    :565-660): a single DLAUpV0 aggregate at stride 4 feeds the heads directly —
+    no second IDAUp pass, no convGRU, no GroupNorm, no tracking stems."""
+
+    config: CenterPoseConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pre_img=None,
+        pre_hm=None,
+        pre_hm_hp=None,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        del pre_img, pre_hm, pre_hm_hp  # dlav0 DLASeg never builds the stems
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        channels = DLA34_CHANNELS
+
+        levels = DLA(dtype=dtype, name="base")(x, train=train)
+        feat = DLAUpV0(channels[FIRST_LEVEL:], dtype=dtype, name="dla_up")(
+            levels[FIRST_LEVEL:], train=train
+        )
+        out: Dict[str, jnp.ndarray] = {}
+        for head, classes in cfg.heads.items():
+            bias0 = -2.19 if "hm" in head else 0.0
+            out[head] = HeadConv(
+                classes, cfg.head_conv, use_gn=False, bias_init_value=bias0,
+                dtype=dtype, name=head,
+            )(feat)
+        return out
 
 
 class CenterPoseNet(nn.Module):

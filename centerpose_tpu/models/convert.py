@@ -35,6 +35,12 @@ def _t_upconv(w) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
 
 
+def _t_deconv(w) -> np.ndarray:
+    # Full ConvTranspose2d weight [in, out, k, k] -> [k, k, in, out]
+    # (TorchConvTranspose flips spatially at apply time).
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 0, 1)))
+
+
 def strip_module_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return {
         (k[len("module."):] if k.startswith("module.") else k): v
@@ -92,6 +98,138 @@ def _torch_key_for(path: Tuple[str, ...], collection: str) -> Tuple[str, Any]:
                     np.asarray,
                 )
             i += 1
+
+    # ---- ResNet family (msra_resnet.py / resnet_dcn.py) ----
+    # Stem: stem/{conv,bn} -> conv1.weight / bn1.*
+    if parts and parts[0] == "stem":
+        if parts[1] == "conv":
+            return "conv1.weight", _t_conv
+        return f"bn1.{bn_map[leaf]}", np.asarray
+
+    # Residual stages: layer{s}_{b}/{convN|downsample}/{conv,bn}.
+    m = re.match(r"layer(\d+)_(\d+)$", parts[0]) if parts else None
+    if m:
+        s, b = m.group(1), m.group(2)
+        comp = parts[1]
+        sub = parts[2]
+        if comp == "downsample":
+            if sub == "conv":
+                return f"layer{s}.{b}.downsample.0.weight", _t_conv
+            return f"layer{s}.{b}.downsample.1.{bn_map[leaf]}", np.asarray
+        n = re.match(r"conv(\d+)", comp).group(1)
+        if sub == "conv":
+            return f"layer{s}.{b}.conv{n}.weight", _t_conv
+        return f"layer{s}.{b}.bn{n}.{bn_map[leaf]}", np.asarray
+
+    # msra deconv stages: deconv{i}/kernel + deconv_bn{i} ->
+    # deconv_layers Sequential [convT, BN, ReLU]*3 (indices 3i / 3i+1).
+    m = re.match(r"deconv(\d+)$", parts[0]) if parts else None
+    if m:
+        return f"deconv_layers.{3 * int(m.group(1))}.weight", _t_deconv
+    m = re.match(r"deconv_bn(\d+)$", parts[0]) if parts else None
+    if m:
+        i = int(m.group(1))
+        # resdcn packs [DCN, BN, ReLU, convT, BN, ReLU] per stage (6 entries);
+        # presence of a sibling deconv_dcn path is signalled by the caller via
+        # the __RESDCN__ marker replacement; default to the msra 3-stride.
+        return f"deconv_layers.__DBN{i}__.{bn_map[leaf]}", np.asarray
+
+    # resdcn deconv stages: deconv_dcn{i} (DCN+BN), deconv_up{i} (convT).
+    m = re.match(r"deconv_dcn(\d+)$", parts[0]) if parts else None
+    if m:
+        base = f"deconv_layers.{6 * int(m.group(1))}"
+        if len(parts) == 1:  # DCN's own weight/bias
+            if leaf == "weight":
+                return f"{base}.weight", _t_conv
+            return f"{base}.bias", np.asarray
+        if parts[1] == "conv_offset_mask":
+            return (
+                f"{base}.conv_offset_mask.{'weight' if leaf == 'kernel' else 'bias'}",
+                _t_conv if leaf == "kernel" else np.asarray,
+            )
+        if parts[1] == "bn":
+            return (
+                f"deconv_layers.{6 * int(m.group(1)) + 1}.{bn_map[leaf]}",
+                np.asarray,
+            )
+    m = re.match(r"deconv_up(\d+)$", parts[0]) if parts else None
+    if m:
+        return f"deconv_layers.{6 * int(m.group(1)) + 3}.weight", _t_deconv
+
+    # ---- Hourglass (large_hourglass.py exkp) ----
+    def _residual_key(base: str, comp: str, sub: str) -> Tuple[str, Any]:
+        # CornerNet residual attrs: conv1/bn1, conv2/bn2, skip.0/skip.1.
+        if comp == "skip":
+            if sub == "conv":
+                return f"{base}.skip.0.weight", _t_conv
+            return f"{base}.skip.1.{bn_map[leaf]}", np.asarray
+        n = comp[-1]
+        if sub == "conv":
+            return f"{base}.conv{n}.weight", _t_conv
+        return f"{base}.bn{n}.{bn_map[leaf]}", np.asarray
+
+    if parts and parts[0] == "pre_conv":
+        if parts[1] == "conv":
+            return "pre.0.conv.weight", _t_conv
+        return f"pre.0.bn.{bn_map[leaf]}", np.asarray
+    if parts and parts[0] == "pre_res":
+        return _residual_key("pre.1", parts[1], parts[2])
+    m = re.match(r"hg_(\d+)$", parts[0]) if parts else None
+    if m:
+        toks = ["kps", m.group(1)]
+        i = 1
+        while i < len(parts) - 2:
+            t = parts[i]
+            mm = re.match(r"(up1|low1|low2|low3)_(\d+)$", t)
+            if mm:
+                toks += [mm.group(1), mm.group(2)]
+            else:  # nested 'low2' kp_module
+                toks.append(t)
+            i += 1
+        return _residual_key(".".join(toks), parts[-2], parts[-1])
+    m = re.match(r"feat_(\d+)$", parts[0]) if parts else None
+    if m:
+        if parts[1] == "conv":
+            return f"cnvs.{m.group(1)}.conv.weight", _t_conv
+        return f"cnvs.{m.group(1)}.bn.{bn_map[leaf]}", np.asarray
+    m = re.match(r"inter_(a|b)_(\d+)$", parts[0]) if parts else None
+    if m:
+        seq = "inters_" if m.group(1) == "a" else "cnvs_"
+        if parts[1] == "conv":
+            return f"{seq}.{m.group(2)}.0.weight", _t_conv
+        return f"{seq}.{m.group(2)}.1.{bn_map[leaf]}", np.asarray
+    m = re.match(r"inter_res_(\d+)$", parts[0]) if parts else None
+    if m:
+        return _residual_key(f"inters.{m.group(1)}", parts[1], parts[2])
+    # Per-stack heads {head}_{s}: ModuleList of make_kp_layer Sequentials
+    # [convolution(with_bn=False) -> 1x1 conv].
+    m = re.match(r"(.+)_(\d+)$", parts[0]) if parts else None
+    if m and len(parts) >= 2 and parts[1] in ("conv1", "out"):
+        head, s = m.group(1), m.group(2)
+        if parts[1] == "conv1":
+            return f"{head}.{s}.0.conv.{'weight' if leaf == 'kernel' else 'bias'}", (
+                _t_conv if leaf == "kernel" else np.asarray
+            )
+        return f"{head}.{s}.1.{'weight' if leaf == 'kernel' else 'bias'}", (
+            _t_conv if leaf == "kernel" else np.asarray
+        )
+
+    # ---- dlav0 neck (dlav0.py IDAUp/DLAUp): dla_up/ida_i/{proj,up,node}_j ----
+    if (
+        parts
+        and parts[0] == "dla_up"
+        and len(parts) >= 2
+        and re.match(r"(proj|up|node)_\d+$", parts[2] if len(parts) > 2 else "")
+    ):
+        base = f"dla_up.{parts[1]}.{parts[2]}"
+        comp = parts[2].split("_")[0]
+        if comp == "up":
+            return f"{base}.weight", _t_upconv
+        # proj/node are Sequential(Conv2d(bias=False), BN, ReLU).
+        sub = parts[3]  # 'conv' | 'bn' (inside ConvBN)
+        if sub == "conv":
+            return f"{base}.0.weight", _t_conv
+        return f"{base}.1.{bn_map[leaf]}", np.asarray
 
     # DLAUp / IDAUp stages: {dla_up/ida_k|ida_up}/stage_i/{proj,up,node}.
     if parts[0] in ("dla_up", "ida_up"):
@@ -170,6 +308,9 @@ def convert_state_dict(
     sd = strip_module_prefix(state_dict)
     sd = {k: np.asarray(v) for k, v in sd.items()}
     out_idx = "3" if use_gn else "2"
+    # resdcn's deconv Sequential has 6 entries/stage (DCN,BN,ReLU,convT,BN,ReLU)
+    # vs msra's 3 (convT,BN,ReLU) — resolves the deconv_bn{i} index.
+    is_resdcn = "deconv_dcn0" in flax_variables.get("params", {})
     used = set()
 
     def fill(tree, collection, path=()):
@@ -179,6 +320,12 @@ def convert_state_dict(
             }
         tkey, transform = _torch_key_for(path, collection)
         tkey = tkey.replace(".__OUT__.", f".{out_idx}.")
+        m = re.search(r"__DBN(\d+)__", tkey)
+        if m:
+            i = int(m.group(1))
+            tkey = tkey.replace(
+                f"__DBN{i}__", str(6 * i + 4 if is_resdcn else 3 * i + 1)
+            )
         if tkey not in sd:
             if strict:
                 raise KeyError(f"torch key {tkey!r} (for {'/'.join(path)}) not found")
@@ -198,7 +345,9 @@ def convert_state_dict(
         converted["batch_stats"] = fill(flax_variables["batch_stats"], "batch_stats")
 
     if strict:
-        ignorable = re.compile(r"num_batches_tracked$|^fc\.")
+        # dlav0's trunk keeps its ImageNet classification head (base.fc) in the
+        # state_dict; CenterPose never runs it.
+        ignorable = re.compile(r"num_batches_tracked$|^fc\.|\.fc\.")
         leftover = [k for k in sd if k not in used and not ignorable.search(k)]
         if leftover:
             raise KeyError(f"unconsumed torch keys: {leftover[:10]} (+{len(leftover)-10 if len(leftover)>10 else 0})")

@@ -6,8 +6,11 @@ CenterTrack-style early-fusion stems for pre_img/pre_hm/pre_hm_hp (:253-271,310-
 `DLAUp` iterative deep aggregation (:420-443), and `IDAUp` (:392-417: DCN proj →
 bilinear-init depthwise transposed-conv upsample → DCN node merge).
 
-`dlav0` variant (plain-conv IDA, dlav0.py:469-525) is provided by swapping the
-DeformConvBlock for a ConvBN projection via the `deformable` flag.
+The exact `dlav0` neck (dlav0.py:469-555) is `IDAUpV0`/`DLAUpV0`: 1x1 conv
+projections, all levels upsampled to the shallowest stride FIRST, then 3x3
+CONCAT-node merges (the dlav1 neck merges by sum at each step instead); the
+dlav0 trunk is byte-identical to the dlav1 trunk (only BN momentum spelling
+differs), so `DLA` is shared.
 """
 
 from __future__ import annotations
@@ -125,6 +128,77 @@ class DLA(nn.Module):
         )(x, train=train)
         outs.append(x)
         return outs
+
+
+class IDAUpV0(nn.Module):
+    """dlav0-style iterative deep aggregation (dlav0.py:469-525).
+
+    All levels are first brought to `out_dim` channels (1x1 conv+BN+ReLU when the
+    channel count differs; Identity otherwise) and to the shallowest stride via a
+    bilinear-initialized depthwise transposed conv, THEN chained through 3x3
+    conv+BN+ReLU nodes over channel-CONCATenated pairs:
+        x = layers[0];  x = node_i(cat[x, layers[i]])  for i = 1..n-1
+    Returns (x, [node outputs]) like the reference forward.
+    """
+
+    out_dim: int
+    channels: Sequence[int]
+    up_factors: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
+        assert len(layers) == len(self.channels)
+        layers = list(layers)
+        for i, c in enumerate(self.channels):
+            x = layers[i]
+            if c != self.out_dim:
+                x = ConvBN(
+                    self.out_dim, 1, relu=True, dtype=self.dtype, name=f"proj_{i}"
+                )(x, train)
+            f = int(self.up_factors[i])
+            if f > 1:
+                x = UpsampleConv(f, dtype=self.dtype, name=f"up_{i}")(x)
+            layers[i] = x
+        x = layers[0]
+        y = []
+        for i in range(1, len(layers)):
+            x = ConvBN(
+                self.out_dim, 3, relu=True, dtype=self.dtype, name=f"node_{i}"
+            )(jnp.concatenate([x, layers[i]], axis=-1), train)
+            y.append(x)
+        return x, y
+
+
+class DLAUpV0(nn.Module):
+    """dlav0-style pyramid aggregation (dlav0.py:528-555): repeatedly IDA the
+    deepest slice, replacing the deeper levels with the node outputs; returns the
+    single stride-4 aggregate (the reference DLASeg consumes only `x`)."""
+
+    channels: Sequence[int]  # channels[first_level:], e.g. (64, 128, 256, 512)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
+        layers = list(layers)
+        channels = list(self.channels)
+        scales = np.array([2 ** i for i in range(len(channels))], dtype=int)
+        in_channels = list(channels)
+        x = layers[-1]
+        for i in range(len(channels) - 1):
+            j = -i - 2
+            ida = IDAUpV0(
+                channels[j],
+                in_channels[j:],
+                (scales[j:] // scales[j]).tolist(),
+                dtype=self.dtype,
+                name=f"ida_{i}",
+            )
+            x, y = ida(layers[j:], train)
+            layers[-i - 1:] = y
+            scales[j + 1:] = scales[j]
+            in_channels[j + 1:] = [channels[j]] * len(in_channels[j + 1:])
+        return x
 
 
 class _ProjUpNode(nn.Module):

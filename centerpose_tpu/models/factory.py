@@ -21,7 +21,9 @@ def create_model(config: CenterPoseConfig) -> nn.Module:
     if name in ("dla", "dlav1"):
         return CenterPoseNet(config, deformable=True)
     if name == "dlav0":
-        return CenterPoseNet(config, deformable=False)
+        from centerpose_tpu.models.centerpose import CenterPoseNetV0
+
+        return CenterPoseNetV0(config)
     if name == "res":
         from centerpose_tpu.models.resnet import PoseResNet
 

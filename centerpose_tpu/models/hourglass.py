@@ -1,15 +1,23 @@
 """Stacked hourglass backbone (`hourglass` arch).
 
 Parity target: the CornerNet large hourglass (src/lib/models/networks/
-large_hourglass.py:190-314): 2 stacks, 5-level recursive hourglass modules with
-dims (256, 256, 384, 384, 384, 512), residual pre/post layers, intermediate
-supervision — every stack emits a full head dict and the reference trains on all
-stacks (num_stacks=2). Convolutions use BN+ReLU residual blocks.
+large_hourglass.py:128-314): 2 stacks, 5-level recursive `kp_module`s with
+dims (256, 256, 384, 384, 384, 512) and modules (2, 2, 2, 2, 2, 4).
+
+Structural details that matter for weight conversion:
+  * downsampling is a STRIDE-2 residual as the first `low1` block
+    (`make_hg_layer`, :290-293) — the pool layer is an identity (:104-105);
+  * `low3` is `make_layer_revr` (:88-93): (mod-1) residuals at the inner dim,
+    then ONE residual mapping inner→outer;
+  * heads are make_kp_layer(cnv_dim=256, curr_dim=256, out) — a 3x3
+    conv(bias)+ReLU at 256 channels then a 1x1 conv, independent of the
+    config's head_conv (get_large_hourglass_net ignores head_conv, :312-314);
+  * every stack emits a full head dict; training supervises all stacks.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -22,6 +30,9 @@ MODULES = (2, 2, 2, 2, 2, 4)
 
 
 class _Residual(nn.Module):
+    """CornerNet residual (large_hourglass.py:50-77): conv3x3(s)+BN+ReLU,
+    conv3x3+BN, skip 1x1conv+BN when shape changes, ReLU(sum)."""
+
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -40,7 +51,7 @@ class _Residual(nn.Module):
 
 
 class _HourglassModule(nn.Module):
-    """Recursive hourglass: down → recurse → up + skip."""
+    """Recursive kp_module (large_hourglass.py:128-187)."""
 
     level: int  # 5 at the top
     dtype: jnp.dtype = jnp.float32
@@ -48,38 +59,43 @@ class _HourglassModule(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         n = self.level
-        dim_cur = DIMS[5 - n]
-        dim_next = DIMS[5 - n + 1]
-        mod_cur = MODULES[5 - n]
+        depth = 5 - n
+        curr_dim = DIMS[depth]
+        next_dim = DIMS[depth + 1]
+        curr_mod = MODULES[depth]
+        next_mod = MODULES[depth + 1]
 
         up = x
-        for i in range(mod_cur):
-            up = _Residual(dim_cur, dtype=self.dtype, name=f"up_{i}")(up, train)
+        for i in range(curr_mod):
+            up = _Residual(curr_dim, dtype=self.dtype, name=f"up1_{i}")(up, train)
 
-        low = nn.max_pool(x, (2, 2), strides=(2, 2))
-        for i in range(mod_cur):
-            low = _Residual(dim_next, dtype=self.dtype, name=f"low1_{i}")(low, train)
+        # make_hg_layer: stride-2 residual then (mod-1) residuals at next_dim.
+        low = _Residual(next_dim, 2, dtype=self.dtype, name="low1_0")(x, train)
+        for i in range(1, curr_mod):
+            low = _Residual(next_dim, dtype=self.dtype, name=f"low1_{i}")(low, train)
 
         if n > 1:
-            low = _HourglassModule(n - 1, dtype=self.dtype, name="inner")(low, train)
+            low = _HourglassModule(n - 1, dtype=self.dtype, name="low2")(low, train)
         else:
-            for i in range(MODULES[5]):
-                low = _Residual(dim_next, dtype=self.dtype, name=f"mid_{i}")(
+            for i in range(next_mod):
+                low = _Residual(next_dim, dtype=self.dtype, name=f"low2_{i}")(
                     low, train
                 )
 
-        for i in range(mod_cur):
-            low = _Residual(dim_cur, dtype=self.dtype, name=f"low2_{i}")(low, train)
+        # make_layer_revr: (mod-1) residuals at next_dim, then next→curr.
+        for i in range(curr_mod - 1):
+            low = _Residual(next_dim, dtype=self.dtype, name=f"low3_{i}")(low, train)
+        low = _Residual(curr_dim, dtype=self.dtype,
+                        name=f"low3_{curr_mod - 1}")(low, train)
 
-        # Nearest-neighbor x2 upsample (CornerNet uses nn.Upsample).
-        b, h, w, c = low.shape
+        # nn.Upsample(scale_factor=2), nearest.
         up2 = jnp.repeat(jnp.repeat(low, 2, axis=1), 2, axis=2)
         return up + up2
 
 
 class HourglassNet(nn.Module):
-    """2-stack hourglass with intermediate supervision; returns the LAST stack's
-    heads (training uses all stacks — exposed via `return_all_stacks`)."""
+    """2-stack hourglass; returns the LAST stack's heads (training uses all
+    stacks via `return_all_stacks`)."""
 
     config: CenterPoseConfig
     num_stacks: int = 2
@@ -91,7 +107,7 @@ class HourglassNet(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
 
-        # Pre: 7x7 s2 conv + residual s2 → stride 4.
+        # Pre: 7x7 s2 conv + residual s2 → stride 4 (large_hourglass.py:209-212).
         x = ConvBN(128, 7, 2, relu=True, dtype=dtype, name="pre_conv")(x, train)
         x = _Residual(256, 2, dtype=dtype, name="pre_res")(x, train)
 
@@ -104,8 +120,9 @@ class HourglassNet(nn.Module):
             heads: Dict[str, jnp.ndarray] = {}
             for head, classes in cfg.heads.items():
                 bias0 = -2.19 if "hm" in head else 0.0
+                # make_kp_layer hardwires curr_dim=256 as the head width.
                 heads[head] = HeadConv(
-                    classes, cfg.head_conv, use_gn=False, bias_init_value=bias0,
+                    classes, 256, use_gn=False, bias_init_value=bias0,
                     dtype=dtype, name=f"{head}_{s}",
                 )(feat)
             outs.append(heads)

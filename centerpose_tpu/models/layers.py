@@ -273,6 +273,52 @@ class UpsampleConv(nn.Module):
         )
 
 
+class TorchConvTranspose(nn.Module):
+    """Full (non-depthwise) transposed conv matching
+    nn.ConvTranspose2d(cin, features, kernel, stride, padding, bias=False).
+
+    The kernel is stored HWIO as [k, k, cin, features] (torch stores
+    [cin, features, k, k]); apply-time spatial flip + lhs dilation realizes the
+    transposed conv as a normal XLA convolution (MXU-friendly). Used by the
+    ResNet deconv stages (msra_resnet.py:212-228, resnet_dcn.py:232-247)."""
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    padding: int = 1
+    bilinear_init: bool = False  # resnet_dcn fill_up_weights-style init
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        cin = x.shape[-1]
+
+        def init(key, shape, dtype=jnp.float32):
+            if self.bilinear_init:
+                # fill_up_weights on a [cin, cout, k, k] tensor writes the
+                # bilinear stencil into w[c, 0] for every input channel c
+                # (resnet_dcn.py:22-31): only output channel 0 is non-zero.
+                bl = _bilinear_upsample_kernel(k // 2)
+                w = jnp.zeros(shape, dtype)
+                return w.at[:, :, :, 0].set(bl[:, :, None])
+            fan_in = cin * k * k
+            bound = 1.0 / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", init, (k, k, cin, self.features))
+        pad = k - 1 - self.padding
+        flipped = kernel[::-1, ::-1].astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            flipped,
+            window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)],
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class HeadConv(nn.Module):
     """Prediction head: 3x3 conv -> [GroupNorm] -> ReLU -> 1x1 conv.
 
@@ -296,7 +342,10 @@ class HeadConv(nn.Module):
             )(x)
             if self.use_gn:
                 groups = 32 if self.head_conv % 32 == 0 else 16
-                x = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="gn")(x)
+                # torch GroupNorm eps is 1e-5 (flax defaults to 1e-6).
+                x = nn.GroupNorm(
+                    num_groups=groups, epsilon=1e-5, dtype=self.dtype, name="gn"
+                )(x)
             x = nn.relu(x)
         # head_conv <= 0: single 1x1 conv head (pose_dla_dcn.py:513-520).
         x = nn.Conv(

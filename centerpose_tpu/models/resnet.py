@@ -15,7 +15,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from centerpose_tpu.config import CenterPoseConfig
-from centerpose_tpu.models.layers import ConvBN, DeformConvBlock, HeadConv, UpsampleConv
+from centerpose_tpu.models.layers import (
+    ConvBN,
+    DeformConvBlock,
+    HeadConv,
+    TorchConvTranspose,
+)
 
 # (block type, per-stage block counts) per depth; 'basic' expansion 1, 'bottleneck' 4.
 RESNET_SPEC = {
@@ -94,21 +99,35 @@ class PoseResNet(nn.Module):
                     feats, stride, project, dtype=dtype, name=f"layer{si + 1}_{bi}"
                 )(x, train)
 
-        # Three deconv stages back to stride 4 (msra_resnet.py:180-213).
-        for di in range(3):
-            if self.deformable_deconv:
-                x = DeformConvBlock(256, dtype=dtype, name=f"deconv_proj{di}")(
+        # Three deconv stages back to stride 4.
+        if self.deformable_deconv:
+            # resdcn (resnet_dcn.py:218-247): per stage DCN(3x3)+BN+ReLU, then a
+            # full bilinear-init ConvTranspose2d(4, s2, p1)+BN+ReLU; filters
+            # shrink 256→128→64.
+            for di, planes in enumerate((256, 128, 64)):
+                x = DeformConvBlock(planes, dtype=dtype, name=f"deconv_dcn{di}")(
                     x, train
                 )
-            if x.shape[-1] != 256:
-                x = nn.Conv(256, (1, 1), use_bias=False, dtype=dtype,
-                            name=f"deconv_proj_conv{di}")(x)
-            x = UpsampleConv(2, dtype=dtype, name=f"deconv_up{di}")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=dtype, name=f"deconv_norm{di}",
-            )(x)
-            x = nn.relu(x)
+                x = TorchConvTranspose(
+                    planes, 4, 2, 1, bilinear_init=True, dtype=dtype,
+                    name=f"deconv_up{di}",
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=dtype, name=f"deconv_bn{di}",
+                )(x)
+                x = nn.relu(x)
+        else:
+            # msra (msra_resnet.py:207-235): full ConvTranspose2d(inplanes→256,
+            # 4, s2, p1, bias=False)+BN+ReLU per stage.
+            for di in range(3):
+                x = TorchConvTranspose(256, 4, 2, 1, dtype=dtype,
+                                       name=f"deconv{di}")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=dtype, name=f"deconv_bn{di}",
+                )(x)
+                x = nn.relu(x)
 
         out: Dict[str, jnp.ndarray] = {}
         for head, classes in cfg.heads.items():
