@@ -113,8 +113,12 @@ class CenterPoseConfig:
     # --- system -------------------------------------------------------------------
     compute_dtype: str = "float32"    # bfloat16 for production inference
     param_dtype: str = "float32"
-    # DCN sampling implementation: 'gather' (exact, default) or 'windowed'
-    # (shifted-FMA, exact for |offset| <= dcn_window_radius; see ops/dcn_pallas.py).
+    # DCN sampling implementation:
+    #   'gather'   — exact XLA gather (default; training-safe autodiff)
+    #   'onehot'   — Pallas one-hot MXU sampler (ops/dcn_onehot.py): ~3.5x
+    #                faster, exact for |dy| <= dcn_window_radius (taps beyond
+    #                the vertical window contribute zero)
+    #   'windowed' — shifted-FMA research kernel (ops/dcn_pallas.py)
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
 

@@ -3,35 +3,38 @@
 Semantics parity target: the reference CUDA im2col sampler
 (src/lib/models/networks/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu:166-189), like
 ops/dcn.py — except sampling is restricted to a ±R input-row window around each
-output row: taps whose vertical offset exceeds R contribute ZERO (they are not
-clamped). For |dy| <= R the result is bit-comparable to the exact op including
-all image-boundary cases.
+block of output rows: taps whose vertical offset exceeds R contribute ZERO
+(they are not clamped). For |dy| <= R the result matches the exact op
+including all image-boundary cases.
 
 Why this beats the XLA gather (NOTES_PERF.md): TPU gathers are row-latency-bound
-(~70 GB/s effective). Here the bilinear gather is re-expressed as matrix
-multiplication against on-the-fly one-hot selectors, so the sampling rides the
-MXU at HBM-streaming cost:
+(~70 GB/s effective). Here bilinear sampling is re-expressed as matmuls against
+on-the-fly one-hot selectors, so the sampling rides the MXU:
 
-  grid = (B, H): one program per (batch item, output row). The full [H, W, C]
-  feature map for batch b stays VMEM-resident across the row sweep (index map
-  constant in r ⇒ fetched once per batch item).
+  grid = (B, H/G): one program per (batch item, block of G output rows). The
+  full [H, 2C, W+1] feature map for batch b stays VMEM-resident across the row
+  sweep (block index constant in r ⇒ fetched once per batch item). Blocking G
+  rows shares the (G + 2R + 2)-row input window across all G rows' samples —
+  MXU work per row shrinks by G·(2R+3)/(G+2R+2) vs one-row programs.
 
-  For output row r, window rows rho = r0..r0+Rw-1 (Rw = 2R+3, r0 clamped):
-    oh[w, t, x']   = (x' == x0[w,t] + 1)              # pure 0/1, bf16-exact
-    s[w, t, 0:2C]  = oh @ [roll(row_rho, 1) | row_rho] # ONE MXU matmul/row:
-                                                       # left half = corner x0,
-                                                       # right half = corner x0+1
-    bx             = s0·(1-fx) + s1·fx                 # f32 VPU blend (exact —
-                                                       # fx never quantized to bf16)
-    acc           += ((rho==ly)·(1-fy) + (rho==ly+1)·fy) · bx   # y blend
-  out[w]           = Σ_t mask[w,t] · acc[w,t,:] @ W[t]          # 9 tap matmuls
+Layout ("transposed-S"): samples live on LANES, lane = g·9W + t·W + w
+(row-of-block major, then tap, then column — so the final conv slices whole
+lane tiles per (g, t)). All per-sample scalars are [1, G·9W] lane vectors —
+every broadcast is a free sublane replication; no in-kernel transposes:
 
-Layout notes (Mosaic): all per-sample tensors are [W(sublanes·outer), 9, ...]
-with lanes = window columns / channels, so broadcasts are lane-replications and
-the [W·9, W'] reshape for the MXU is a free collapse of sublane-major dims.
-The concatenated [shifted|unshifted] rows give the matmul N = 2C lanes (full
-128 lanes at C=64) and make both bilinear x-corners exact from a single 0/1
-one-hot.
+  ohT[x', s]  = (x' == x0[s] + 1)          # [W+1, GS] pure 0/1, bf16-exact
+  sT          = cat(rho) @ ohT             # ONE [2C, W+1]x[W+1, GS] MXU matmul
+                                           # per window row; cat = [x>>1 | x]ᵀ
+                                           # with a zero column at x'=W, so
+                                           # rows [:C] give corner x0 and [C:]
+                                           # corner x0+1, and BOTH image-edge
+                                           # cases fall out automatically
+  bx          = s0·(1-fx) + s1·fx          # f32 VPU blend (fx never quantized)
+  acc        += ((rho==ly)·(1-fy) + (rho==ly+1)·fy) · bx     # y blend
+  outT[g]     = Σ_t W[t]ᵀ @ (mask·acc)[:, (g·9+t)W:(g·9+t+1)W]
+
+The kernel emits [B, H, Co, W]; the caller transposes back to NHWC (an XLA
+transpose, fused with the bias add).
 """
 
 from __future__ import annotations
@@ -40,118 +43,152 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from centerpose_tpu.ops.dcn import dcn_v2
 
 
-def _row_kernel(dy_ref, dx_ref, mask_ref, x_ref, w_ref, out_ref, *,
-                h: int, w: int, c: int, co: int, radius: int):
-    r = pl.program_id(1)
-    rw = 2 * radius + 3
-    r0 = jnp.clip(r - 1 - radius, 0, h - rw)
+def _pick_block_rows(h: int, w: int, c: int, radius: int) -> int:
+    """Row-blocking G trades grid overhead against MXU waste: every extra
+    window row multiplies ALL G rows' samples, so per-row matmul work is
+    (G + 2R + 2)/G vs (2R + 3) at G=1 — G=2 halves program count at equal
+    MACs; G>2 only pays off if per-program overhead dominates (measured: it
+    does not). Keep the window inside H and G | H."""
+    for g in (2, 1):
+        if h % g == 0 and h >= g + 2 * radius + 2:
+            return g
+    return 1
 
-    dy = dy_ref[0, 0]      # [W, 9] f32
+
+def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
+                h: int, w: int, c: int, co: int, radius: int, g: int):
+    rb = pl.program_id(1)
+    rw = g + 2 * radius + 2
+    r0 = jnp.clip(rb * g - 1 - radius, 0, h - rw)
+    gs = g * 9 * w
+
+    dy = dy_ref[0, 0]       # [1, GS] f32, lane = g·9W + t·W + w
     dx = dx_ref[0, 0]
-    m = mask_ref[0, 0]     # [W, 9]
+    m = mask_ref[0, 0]
+    row_in_blk = idx_ref[0:1, :]   # precomputed lane decodes (f32 constants)
+    t_row = idx_ref[1:2, :]
+    t_col = idx_ref[2:3, :]
+    w_pos = idx_ref[3:4, :]
 
-    t_row = (jax.lax.broadcasted_iota(jnp.int32, (w, 9), 1) // 3).astype(jnp.float32)
-    t_col = (jax.lax.broadcasted_iota(jnp.int32, (w, 9), 1) % 3).astype(jnp.float32)
-    w_pos = jax.lax.broadcasted_iota(jnp.int32, (w, 9), 0).astype(jnp.float32)
-
-    py = (r.astype(jnp.float32) - 1.0) + t_row + dy
+    py = (rb * g - 1).astype(jnp.float32) + row_in_blk + t_row + dy
     px = (w_pos - 1.0) + t_col + dx
     y0 = jnp.floor(py)
     fy = py - y0
     x0 = jnp.floor(px)
     fx = px - x0
-    ly = y0 - r0.astype(jnp.float32)   # local window row of the upper corner
-    x1 = x0 + 1.0                      # right corner column in [0, W]
+    ly = y0 - r0.astype(jnp.float32)     # window row of the upper corner
+    x1 = x0 + 1.0                        # right-corner column in [0, W]
 
-    # 0/1 selector for the RIGHT corner column: [W, 9, W'] (int compare —
-    # Mosaic iota is integer-only).
-    cols = jax.lax.broadcasted_iota(jnp.int32, (w, 9, w), 2)
-    x1i = jnp.where(jnp.abs(x1) < 2.0e9, x1, -1.0).astype(jnp.int32)
-    in_range = (x1 >= 0.0) & (x1 <= w)
-    x1i = jnp.where(in_range, x1i, -1)
-    oh = (cols == x1i[:, :, None]).astype(x_ref.dtype)
-
-    fx1 = fx[:, :, None]
-    fy1 = fy[:, :, None]
-
-    # Right-edge weights: x1 == W has no one-hot lane, but the LEFT corner
-    # x0 == W-1 is still in-bounds and carries weight (1-fx).
-    edge = ((x1 == w).astype(jnp.float32) * (1.0 - fx))[:, :, None]
+    # 0/1 one-hot over columns [0, W) — K is exactly W (no pad column: a
+    # padded K of W+1 would double the MXU K-blocks). Clamp before the cast so
+    # huge offsets can't overflow int32.
+    x1c = jnp.clip(x1, -1.0, float(w + 1))
+    x1i = jnp.where((x1 >= 0.0) & (x1 < w), x1c, -1.0).astype(jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0)
+    oht = (rows == x1i).astype(x_ref.dtype)             # [W, GS]
+    # Right-edge case: x1 == W has no one-hot column, but the LEFT corner
+    # x0 == W-1 is in-bounds with weight (1-fx). Its value is the last column
+    # of the unshifted half — a sublane vector here, so the fix-up is a cheap
+    # outer-product broadcast.
+    edge = (x1 == w).astype(jnp.float32) * (1.0 - fx)   # [1, GS]
 
     def body(rho, acc):
-        # x_ref holds [x>>1 | x] pre-concatenated along channels (built in XLA:
-        # Mosaic lacks sub-32-bit rotates), so one matmul fetches both
-        # bilinear x-corners: lanes [:C] = column x'-1, lanes [C:] = column x'.
-        cat = x_ref[0, r0 + rho]                        # [W, 2C]
-        s = jax.lax.dot_general(
-            oh, cat, (((2,), (0,)), ((), ())),
+        cat = x_ref[0, r0 + rho]                        # [2C, W]
+        st = jax.lax.dot_general(
+            cat, oht, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                               # [W, 9, 2C]
-        bx = s[:, :, :c] * (1.0 - fx1) + s[:, :, c:] * fx1
-        bx = bx + edge * cat[w - 1, c:].astype(jnp.float32)[None, None, :]
+        )                                               # [2C, GS]
+        bx = st[:c] * (1.0 - fx) + st[c:] * fx          # [C, GS]
+        bx = bx + cat[c:, w - 1:w].astype(jnp.float32) * edge
         rho_f = rho.astype(jnp.float32)
         a = (
             (ly == rho_f).astype(jnp.float32) * (1.0 - fy)
             + (ly == rho_f - 1.0).astype(jnp.float32) * fy
         )
-        return acc + a[:, :, None] * bx
+        return acc + a * bx
 
-    acc = jax.lax.fori_loop(0, rw, body, jnp.zeros((w, 9, c), jnp.float32))
+    acc = jax.lax.fori_loop(0, rw, body, jnp.zeros((c, gs), jnp.float32))
+    acc = (acc * m).astype(w_ref.dtype)                 # [C, GS]
 
-    acc = acc * m[:, :, None]
-    acc = acc.astype(w_ref.dtype)
-    out = jnp.zeros((w, co), jnp.float32)
-    for t in range(9):
-        out = out + jax.lax.dot_general(
-            acc[:, t, :], w_ref[t], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    for gi in range(g):
+        out = jnp.zeros((co, w), jnp.float32)
+        for t in range(9):
+            lo = (gi * 9 + t) * w
+            out = out + jax.lax.dot_general(
+                w_ref[t], acc[:, lo:lo + w], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # [Co, W]
+        out_ref[0, gi] = out.astype(out_ref.dtype)
 
 
 def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int):
     b, h, w, c = x.shape
     kh, kw, _, co = weight.shape
     assert (kh, kw) == (3, 3), "one-hot kernel supports 3x3 s1 p1 d1 only"
-    rw = 2 * radius + 3
+    g = _pick_block_rows(h, w, c, radius)
+    rw = g + 2 * radius + 2
     assert h >= rw, f"H={h} smaller than window {rw}; use the exact gather"
+    s = 9 * w
+    gs = g * s
 
+    # Tap-major [1, S] per-sample scalars, then G rows folded into lanes
+    # (all transposes/reshapes happen here in XLA).
     off = offset.reshape(b, h, w, 9, 2)
-    dy = off[..., 0].astype(jnp.float32)   # [B, H, W, 9]
-    dx = off[..., 1].astype(jnp.float32)
-    m = mask.astype(jnp.float32)           # [B, H, W, 9]
-    wt = jnp.transpose(weight, (0, 1, 2, 3)).reshape(9, c, co).astype(x.dtype)
-    # Pre-concatenate [x shifted right by one column | x] along channels so the
-    # kernel's single one-hot matmul yields both bilinear x-corners.
-    x_sh = jnp.pad(x, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :w, :]
-    xcat = jnp.concatenate([x_sh, x], axis=-1)          # [B, H, W, 2C]
+    dy = jnp.transpose(off[..., 0], (0, 1, 3, 2)).reshape(b, h // g, 1, gs)
+    dx = jnp.transpose(off[..., 1], (0, 1, 3, 2)).reshape(b, h // g, 1, gs)
+    m = jnp.transpose(mask, (0, 1, 3, 2)).reshape(b, h // g, 1, gs)
+    wt = weight.reshape(9, c, co).astype(x.dtype)
 
-    kernel = partial(_row_kernel, h=h, w=w, c=c, co=co, radius=radius)
-    out = pl.pallas_call(
+    # Constant lane-decode vectors (avoids div/mod by non-power-of-2 in-kernel).
+    lanes = np.arange(gs)
+    idx = jnp.asarray(
+        np.stack([
+            lanes // s,            # row within the block
+            (lanes % s) // w // 3,  # tap row i
+            (lanes % s) // w % 3,   # tap col j
+            lanes % w,             # output column
+        ]).astype(np.float32)
+    )                                                        # [4, GS]
+
+    # [x>>1 | x] channel-concat: channels [:C] of column x' hold column x'-1
+    # (zero at x'=0), channels [C:] hold column x'. Pre-TRANSPOSED to
+    # [B, H, 2C, W] so the kernel matmul is the natural [M, K]x[K, N] form
+    # (no per-iteration lhs transpose in Mosaic) with K exactly W.
+    x_sh = jnp.pad(x, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :w, :]
+    xcat = jnp.transpose(
+        jnp.concatenate([x_sh, x], axis=-1), (0, 1, 3, 2)
+    )                                                        # [B, H, 2C, W]
+
+    kernel = partial(_row_kernel, h=h, w=w, c=c, co=co, radius=radius, g=g)
+    out_t = pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b, h // g),
         in_specs=[
-            pl.BlockSpec((1, 1, w, 9), lambda bi, r: (bi, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, gs), lambda bi, r: (bi, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, 9), lambda bi, r: (bi, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, gs), lambda bi, r: (bi, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, 9), lambda bi, r: (bi, r, 0, 0),
+            pl.BlockSpec((1, 1, 1, gs), lambda bi, r: (bi, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w, 2 * c), lambda bi, r: (bi, 0, 0, 0),
+            pl.BlockSpec((4, gs), lambda bi, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, 2 * c, w), lambda bi, r: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, c, co), lambda bi, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, w, co), lambda bi, r: (bi, r, 0, 0),
+        out_specs=pl.BlockSpec((1, g, co, w), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
-    )(dy, dx, m, xcat, wt)
+        out_shape=jax.ShapeDtypeStruct((b, h, co, w), x.dtype),
+    )(dy, dx, m, idx, xcat, wt)
+    out = jnp.transpose(out_t, (0, 1, 3, 2))
     return out + bias.astype(x.dtype)
 
 

@@ -1,0 +1,135 @@
+"""Parity tests for the Pallas one-hot MXU DCN sampler (ops/dcn_onehot.py).
+
+On CPU the kernel runs in Pallas interpret mode (patched pallas_call); on TPU
+the same tests run compiled. Exactness contract: identical to ops/dcn.py
+dcn_v2 whenever every |dy| <= radius (including image-boundary corners);
+out-of-window taps contribute zero.
+"""
+
+import numpy as np
+import pytest
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import centerpose_tpu.ops.dcn_onehot as oh
+from centerpose_tpu.ops.dcn import dcn_v2
+
+_ORIG_PALLAS_CALL = pl.pallas_call
+
+
+def _interp(*a, **k):
+    if jax.default_backend() == "cpu":
+        k["interpret"] = True
+    return _ORIG_PALLAS_CALL(*a, **k)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_on_cpu():
+    with mock.patch.object(pl, "pallas_call", _interp):
+        yield
+
+
+def _rand_case(rng, b, h, w, c, co, off_scale):
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    offset = (rng.rand(b, h, w, 18).astype(np.float32) * 2 - 1) * off_scale
+    mask = rng.rand(b, h, w, 9).astype(np.float32)
+    wt = rng.randn(3, 3, c, co).astype(np.float32) * 0.1
+    bias = rng.randn(co).astype(np.float32)
+    return tuple(jnp.asarray(a) for a in (x, offset, mask, wt, bias))
+
+
+class TestOneHotParity:
+    @pytest.mark.parametrize(
+        "b,h,w,c,co,radius,scale",
+        [
+            (1, 16, 16, 4, 4, 2, 0.0),    # zero offsets == plain conv
+            (2, 16, 32, 8, 16, 2, 1.8),   # general offsets within window
+            (1, 24, 16, 8, 8, 3, 2.8),    # R=3
+            (1, 16, 16, 4, 8, 2, 1.9),    # c != co
+        ],
+    )
+    def test_matches_exact_gather_within_window(
+        self, b, h, w, c, co, radius, scale
+    ):
+        rng = np.random.RandomState(0)
+        args = _rand_case(rng, b, h, w, c, co, scale)
+        out_k = oh.dcn_v2_onehot(*args, radius)
+        out_ref = dcn_v2(*args[:5])
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=2e-5, rtol=1e-5
+        )
+
+    def test_boundary_corners_match(self):
+        # Offsets pushing samples across every image edge (but |dy| <= R):
+        # out-of-image corners contribute zero in both implementations.
+        rng = np.random.RandomState(1)
+        b, h, w, c, co, r = 1, 16, 16, 4, 4, 3
+        x, offset, mask, wt, bias = _rand_case(rng, b, h, w, c, co, 0.0)
+        off = np.zeros((b, h, w, 18), np.float32)
+        off[:, :2, :, 0::2] = -2.5    # top rows sample above the image
+        off[:, -2:, :, 0::2] = 2.5    # bottom rows below
+        off[:, :, :2, 1::2] = -2.5    # left columns
+        off[:, :, -2:, 1::2] = 2.5    # right columns
+        out_k = oh.dcn_v2_onehot(x, jnp.asarray(off), mask, wt, bias, r)
+        out_ref = dcn_v2(x, jnp.asarray(off), mask, wt, bias)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=2e-5, rtol=1e-5
+        )
+
+    def test_out_of_window_taps_drop_to_zero(self):
+        # One tap's dy exceeds the whole block window (dy > R + G + 1 for the
+        # G=2 row blocking): that tap contributes 0; a reference built by
+        # zeroing its mask must match. (For R < |dy| <= R+G+1 the tap may
+        # still sample — the block window is shared by G rows — which is MORE
+        # coverage than the per-row contract, never less.)
+        rng = np.random.RandomState(2)
+        b, h, w, c, co, r = 1, 16, 16, 4, 4, 2
+        x, _, mask, wt, bias = _rand_case(rng, b, h, w, c, co, 0.0)
+        off = np.zeros((b, h, w, 18), np.float32)
+        off[:, :, :, 8] = 8.0         # tap 4 (dy channel 2*4) far out
+        m_dropped = np.asarray(mask).copy()
+        m_dropped[:, :, :, 4] = 0.0
+        out_k = oh.dcn_v2_onehot(x, jnp.asarray(off), mask, wt, bias, r)
+        out_ref = dcn_v2(x, jnp.asarray(off), jnp.asarray(m_dropped), wt, bias)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=2e-5, rtol=1e-5
+        )
+
+    def test_gradients_flow(self):
+        # custom_vjp backward (exact-op autodiff) produces finite grads for
+        # every input.
+        rng = np.random.RandomState(3)
+        args = _rand_case(rng, 1, 16, 16, 4, 4, 1.5)
+
+        def loss(*a):
+            return jnp.sum(oh.dcn_v2_onehot(*a, 2) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+        for g in grads:
+            assert np.all(np.isfinite(np.asarray(g)))
+        # Against the exact op's grads (offsets in-window -> identical fwd).
+        def loss_ref(*a):
+            return jnp.sum(dcn_v2(*a) ** 2)
+
+        grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+        for g, gr in zip(grads, grads_ref):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(gr), atol=1e-4, rtol=1e-4
+            )
+
+    def test_model_integration_onehot_impl(self):
+        # DeformConvBlock with dcn_impl='onehot' initializes and runs.
+        from centerpose_tpu.models.layers import DeformConvBlock
+
+        m = DeformConvBlock(8, dcn_impl="onehot", dcn_window_radius=2)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 4), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(variables, x)
+        assert y.shape == (1, 16, 16, 8)
+        # Zero-init offset conv => identical to the gather impl at init.
+        m2 = DeformConvBlock(8, dcn_impl="gather")
+        y2 = m2.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=2e-5)
