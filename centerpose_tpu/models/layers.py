@@ -202,12 +202,13 @@ class DeformConvBlock(nn.Module):
         weight = self.param("weight", w_init, (3, 3, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        if self.dcn_impl == "onehot":
+        if self.dcn_impl in ("onehot", "onehot_exact"):
             from centerpose_tpu.ops.dcn_onehot import dcn_v2_onehot
 
             x = dcn_v2_onehot(
                 x, offset, mask, weight.astype(self.dtype),
                 bias.astype(self.dtype), self.dcn_window_radius,
+                self.dcn_impl == "onehot_exact",
             )
         elif self.dcn_impl == "windowed":
             from centerpose_tpu.ops.dcn_pallas import dcn_v2_windowed

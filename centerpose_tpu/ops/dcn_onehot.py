@@ -63,7 +63,8 @@ def _pick_block_rows(h: int, w: int, c: int, radius: int) -> int:
 
 
 def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
-                h: int, w: int, c: int, co: int, radius: int, g: int):
+                h: int, w: int, c: int, co: int, radius: int, g: int,
+                exact: bool):
     rb = pl.program_id(1)
     rw = g + 2 * radius + 2
     r0 = jnp.clip(rb * g - 1 - radius, 0, h - rw)
@@ -86,27 +87,46 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
     ly = y0 - r0.astype(jnp.float32)     # window row of the upper corner
     x1 = x0 + 1.0                        # right-corner column in [0, W]
 
-    # 0/1 one-hot over columns [0, W) — K is exactly W (no pad column: a
-    # padded K of W+1 would double the MXU K-blocks). Clamp before the cast so
-    # huge offsets can't overflow int32.
+    # Column selectors over [0, W) — K is exactly W (a padded K of W+1 would
+    # double the MXU K-blocks). Clamp before the cast so huge offsets can't
+    # overflow int32.
     x1c = jnp.clip(x1, -1.0, float(w + 1))
     x1i = jnp.where((x1 >= 0.0) & (x1 < w), x1c, -1.0).astype(jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0)
-    oht = (rows == x1i).astype(x_ref.dtype)             # [W, GS]
-    # Right-edge case: x1 == W has no one-hot column, but the LEFT corner
-    # x0 == W-1 is in-bounds with weight (1-fx). Its value is the last column
-    # of the unshifted half — a sublane vector here, so the fix-up is a cheap
-    # outer-product broadcast.
-    edge = (x1 == w).astype(jnp.float32) * (1.0 - fx)   # [1, GS]
+
+    if exact:
+        # 0/1 one-hot on the RIGHT corner only; both corners come from the
+        # [x>>1 | x] channel-concat (M = 2C) and fx blends in f32 on the VPU.
+        oht = (rows == x1i).astype(x_ref.dtype)         # [W, GS]
+        # Right-edge case: x1 == W has no one-hot column, but the LEFT corner
+        # x0 == W-1 is in-bounds with weight (1-fx). Its value is the last
+        # column of the unshifted half — a sublane vector here, so the fix-up
+        # is a cheap outer-product broadcast.
+        edge = (x1 == w).astype(jnp.float32) * (1.0 - fx)   # [1, GS]
+    else:
+        # Bilinear x-weights INSIDE the (bf16) selector: two weighted nonzeros
+        # per sample column. Halves the matmul M (C, no concat) at the cost of
+        # quantizing fx to the compute dtype (<= 2^-9 relative weight error —
+        # below bf16 activation noise). Both image-edge cases fall out: x0=-1
+        # and x1=W simply have no matching column.
+        x0c = jnp.clip(x0, -1.0, float(w))
+        x0i = jnp.where((x0 >= 0.0) & (x0 < w), x0c, -1.0).astype(jnp.int32)
+        oht = (
+            (rows == x0i).astype(jnp.float32) * (1.0 - fx)
+            + (rows == x1i).astype(jnp.float32) * fx
+        ).astype(x_ref.dtype)                           # [W, GS]
 
     def body(rho, acc):
-        cat = x_ref[0, r0 + rho]                        # [2C, W]
+        xrow = x_ref[0, r0 + rho]                       # [2C, W] or [C, W]
         st = jax.lax.dot_general(
-            cat, oht, (((1,), (0,)), ((), ())),
+            xrow, oht, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                               # [2C, GS]
-        bx = st[:c] * (1.0 - fx) + st[c:] * fx          # [C, GS]
-        bx = bx + cat[c:, w - 1:w].astype(jnp.float32) * edge
+        )                                               # [2C or C, GS]
+        if exact:
+            bx = st[:c] * (1.0 - fx) + st[c:] * fx      # [C, GS]
+            bx = bx + xrow[c:, w - 1:w].astype(jnp.float32) * edge
+        else:
+            bx = st
         rho_f = rho.astype(jnp.float32)
         a = (
             (ly == rho_f).astype(jnp.float32) * (1.0 - fy)
@@ -114,7 +134,13 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
         )
         return acc + a * bx
 
-    acc = jax.lax.fori_loop(0, rw, body, jnp.zeros((c, gs), jnp.float32))
+    # Data-adaptive bounds: only window rows in [min(ly), max(ly)+1] carry any
+    # bilinear weight — at zero/small offsets (trained DCNs concentrate near
+    # 0; at init offsets are exactly 0) this shrinks G+2R+2 iterations to ~G+2.
+    lo = jnp.min(jnp.clip(ly, 0.0, float(rw))).astype(jnp.int32)
+    hi = jnp.max(jnp.clip(ly + 2.0, 0.0, float(rw))).astype(jnp.int32)
+    hi = jnp.maximum(hi, lo)
+    acc = jax.lax.fori_loop(lo, hi, body, jnp.zeros((c, gs), jnp.float32))
     acc = (acc * m).astype(w_ref.dtype)                 # [C, GS]
 
     for gi in range(g):
@@ -128,7 +154,8 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
         out_ref[0, gi] = out.astype(out_ref.dtype)
 
 
-def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int):
+def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
+                         exact: bool = True):
     b, h, w, c = x.shape
     kh, kw, _, co = weight.shape
     assert (kh, kw) == (3, 3), "one-hot kernel supports 3x3 s1 p1 d1 only"
@@ -157,16 +184,23 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int):
         ]).astype(np.float32)
     )                                                        # [4, GS]
 
-    # [x>>1 | x] channel-concat: channels [:C] of column x' hold column x'-1
-    # (zero at x'=0), channels [C:] hold column x'. Pre-TRANSPOSED to
-    # [B, H, 2C, W] so the kernel matmul is the natural [M, K]x[K, N] form
-    # (no per-iteration lhs transpose in Mosaic) with K exactly W.
-    x_sh = jnp.pad(x, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :w, :]
-    xcat = jnp.transpose(
-        jnp.concatenate([x_sh, x], axis=-1), (0, 1, 3, 2)
-    )                                                        # [B, H, 2C, W]
+    if exact:
+        # [x>>1 | x] channel-concat: channels [:C] of column x' hold column
+        # x'-1 (zero at x'=0), channels [C:] hold column x'. Pre-TRANSPOSED to
+        # [B, H, 2C, W] so the kernel matmul is the natural [M, K]x[K, N] form
+        # (no per-iteration lhs transpose in Mosaic) with K exactly W.
+        x_sh = jnp.pad(x, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :w, :]
+        xk = jnp.transpose(
+            jnp.concatenate([x_sh, x], axis=-1), (0, 1, 3, 2)
+        )                                                    # [B, H, 2C, W]
+        mrows = 2 * c
+    else:
+        # Weighted-selector variant: both corners come from one [C, W] block.
+        xk = jnp.transpose(x, (0, 1, 3, 2))                  # [B, H, C, W]
+        mrows = c
 
-    kernel = partial(_row_kernel, h=h, w=w, c=c, co=co, radius=radius, g=g)
+    kernel = partial(_row_kernel, h=h, w=w, c=c, co=co, radius=radius, g=g,
+                     exact=exact)
     out_t = pl.pallas_call(
         kernel,
         grid=(b, h // g),
@@ -179,7 +213,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, gs), lambda bi, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, 2 * c, w), lambda bi, r: (bi, 0, 0, 0),
+            pl.BlockSpec((1, h, mrows, w), lambda bi, r: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, c, co), lambda bi, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -187,28 +221,31 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int):
         out_specs=pl.BlockSpec((1, g, co, w), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, co, w), x.dtype),
-    )(dy, dx, m, idx, xcat, wt)
+    )(dy, dx, m, idx, xk, wt)
     out = jnp.transpose(out_t, (0, 1, 3, 2))
     return out + bias.astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def dcn_v2_onehot(x, offset, mask, weight, bias, radius: int = 4):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def dcn_v2_onehot(x, offset, mask, weight, bias, radius: int = 4,
+                  exact: bool = True):
     """Windowed one-hot MXU DCNv2 forward (see module docstring).
 
     Args match ops/dcn.py dcn_v2 (3x3 s1 p1 d1 implied). `radius` bounds the
     vertical offset magnitude that samples exactly; larger |dy| contribute 0.
+    `exact=False` halves the MXU work by carrying the bilinear x-weights inside
+    the compute-dtype selector (<= 2^-9 relative weight quantization in bf16).
     """
-    return _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius)
+    return _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius, exact)
 
 
-def _fwd(x, offset, mask, weight, bias, radius):
-    return _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius), (
+def _fwd(x, offset, mask, weight, bias, radius, exact):
+    return _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius, exact), (
         x, offset, mask, weight, bias,
     )
 
 
-def _bwd(radius, res, g):
+def _bwd(radius, exact, res, g):
     # Training gradient via the exact-gather op's autodiff (the window is an
     # inference-speed measure; |dy|<=R training offsets make them identical).
     x, offset, mask, weight, bias = res
