@@ -8,6 +8,10 @@ Parity target: `CuboidPNPSolver.solve_pnp` (src/lib/utils/pnp/cuboid_pnp_solver.
   * cv2.SOLVEPNP_ITERATIVE ≈ DLT initialization + Levenberg-Marquardt refinement of
     the reprojection error; here: weighted-DLT via a 12x12 eigendecomposition +
     branchless fixed-iteration LM, all inside one jit and vmappable over objects.
+  * below 6 valid points the reference switches to cv2.SOLVEPNP_EPNP
+    (cuboid_pnp_solver.py:163-165, min_required_points=4); here: a branchless
+    EPnP initializer (4-eigenvector null space, β hypotheses N=1/2/3 with
+    Gauss-Newton distance refinement) feeds the same LM.
   * z < 0 solutions are rejected (solver returns valid=False), matching
     cuboid_pnp_solver.py:207-220.
   * Returns both the OpenCV-frame pose and the OpenGL-converted pose (x↔y swap,
@@ -25,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_MIN_POINTS = 6  # DLT init needs >=6; reference uses EPnP below 6 (rare in practice)
+_DLT_MIN_POINTS = 6  # below this the EPnP initializer takes over
 _LM_ITERS = 20
 
 
@@ -119,6 +123,137 @@ def _dlt_init(points3d, points2d_norm, weights):
     return r2, t * flip
 
 
+def _procrustes_weighted(points_w, points_c, weights):
+    """Weighted Kabsch: (R, t) with points_c ≈ R @ points_w + t."""
+    wsum = jnp.maximum(jnp.sum(weights), 1e-9)
+    mu_w = jnp.sum(points_w * weights[:, None], axis=0) / wsum
+    mu_c = jnp.sum(points_c * weights[:, None], axis=0) / wsum
+    h = ((points_w - mu_w) * weights[:, None]).T @ (points_c - mu_c)
+    uu, _, vt = jnp.linalg.svd(h)
+    dsign = jnp.sign(jnp.linalg.det(vt.T @ uu.T))
+    r = vt.T @ jnp.diag(jnp.array([1.0, 1.0, dsign])) @ uu.T
+    t = mu_c - r @ mu_w
+    return r, t
+
+
+_PAIR_I = jnp.array([0, 0, 0, 1, 1, 2])
+_PAIR_J = jnp.array([1, 2, 3, 2, 3, 3])
+
+
+def _epnp_init(points3d, points2d_norm, weights):
+    """EPnP initialization (Lepetit et al., OpenCV's hypothesis structure) for
+    4/5-point solves — the reference switches cv2 to SOLVEPNP_EPNP below 6
+    valid points (cuboid_pnp_solver.py:163-165, min_required_points=4).
+
+    With n in {4, 5} the 12-dim control-point system MᵀM has a 2-4 dim null
+    space, so the camera-frame control points are x = Σ βₖ vₖ over the 4
+    smallest eigenvectors; the βs are pinned by the 6 inter-control-point
+    distance equations: closed-form seeds for N = 1/2/3 active vectors, each
+    Gauss-Newton-refined on the distance residuals, winner by weighted
+    reprojection. Everything is branchless/fixed-shape for vmap+jit.
+    """
+    n = points3d.shape[0]
+    c0 = jnp.mean(points3d, axis=0)
+    d = points3d - c0
+    cov = d.T @ d / n
+    evals, evecs = jnp.linalg.eigh(cov)
+    axes = evecs * jnp.sqrt(jnp.maximum(evals, 1e-12))   # columns = scaled axes
+    ctrl_w = jnp.concatenate([c0[None], c0[None] + axes.T], axis=0)   # [4, 3]
+
+    beta_w = jnp.linalg.solve(axes, d.T).T               # axes @ β.T = d.T
+    alpha = jnp.concatenate(
+        [1.0 - jnp.sum(beta_w, axis=-1, keepdims=True), beta_w], axis=-1
+    )                                                    # [n, 4]
+
+    u, v = points2d_norm[:, 0], points2d_norm[:, 1]
+    zeros = jnp.zeros_like(alpha)
+    # Unknowns: camera-frame control points, ctrl-major (x, y, z) minor.
+    mu = jnp.stack([alpha, zeros, -alpha * u[:, None]], axis=-1).reshape(n, 12)
+    mv = jnp.stack([zeros, alpha, -alpha * v[:, None]], axis=-1).reshape(n, 12)
+    m = jnp.concatenate([mu, mv], axis=0) * jnp.concatenate(
+        [weights, weights]
+    )[:, None]
+    _, vecs = jnp.linalg.eigh(m.T @ m)
+    vnull = vecs[:, :4].T.reshape(4, 4, 3)               # [k, ctrl, xyz], ascending
+
+    # Pairwise control-point difference vectors per null vector: [k, 6, 3].
+    dv = vnull[:, _PAIR_I, :] - vnull[:, _PAIR_J, :]
+    dist2 = jnp.sum(
+        (ctrl_w[_PAIR_I] - ctrl_w[_PAIR_J]) ** 2, axis=-1
+    )                                                    # [6]
+
+    def gram(a, b):  # Σ_xyz dv_a[p]·dv_b[p] per pair p -> [6]
+        return jnp.sum(dv[a] * dv[b], axis=-1)
+
+    # --- β seeds (OpenCV find_betas_approx_{1,2,3} analogue) ---
+    # N=1: β1² Σ||dv1||² ≈ Σ d² (least squares on the single unknown).
+    b1_1 = jnp.sqrt(jnp.abs(jnp.sum(dist2 * gram(0, 0)))
+                    / jnp.maximum(jnp.sum(gram(0, 0) ** 2), 1e-12))
+    betas1 = jnp.array([1.0, 0.0, 0.0, 0.0]) * b1_1
+
+    def _ls(lmat):
+        ridge = 1e-9 * jnp.eye(lmat.shape[1])
+        return jnp.linalg.solve(lmat.T @ lmat + ridge, lmat.T @ dist2)
+
+    # N=2: unknowns [β11, β12, β22].
+    l2 = jnp.stack([gram(0, 0), 2 * gram(0, 1), gram(1, 1)], axis=1)
+    y2 = _ls(l2)
+    b1 = jnp.sqrt(jnp.abs(y2[0]))
+    b2 = jnp.sqrt(jnp.abs(y2[2])) * jnp.sign(y2[1]) * jnp.sign(y2[0] + 1e-30)
+    betas2 = jnp.array([1.0, 0.0, 0.0, 0.0]) * b1 + jnp.array(
+        [0.0, 1.0, 0.0, 0.0]
+    ) * b2
+
+    # N=3: unknowns [β11, β12, β22, β13, β23, β33] (6 eqs, 6 unknowns).
+    l3 = jnp.stack(
+        [gram(0, 0), 2 * gram(0, 1), gram(1, 1),
+         2 * gram(0, 2), 2 * gram(1, 2), gram(2, 2)], axis=1
+    )
+    y3 = _ls(l3)
+    b1 = jnp.sqrt(jnp.abs(y3[0]))
+    b2 = jnp.sqrt(jnp.abs(y3[2])) * jnp.sign(y3[1]) * jnp.sign(y3[0] + 1e-30)
+    b3 = y3[3] / jnp.where(jnp.abs(b1) < 1e-12, 1e-12, b1)
+    betas3 = (
+        jnp.array([1.0, 0.0, 0.0, 0.0]) * b1
+        + jnp.array([0.0, 1.0, 0.0, 0.0]) * b2
+        + jnp.array([0.0, 0.0, 1.0, 0.0]) * b3
+    )
+
+    def gn_refine(betas):
+        # Gauss-Newton on the 6 distance residuals over the full 4-vector β.
+        def step(b, _):
+            diff = jnp.einsum("k,kpx->px", b, dv)        # [6, 3]
+            res = jnp.sum(diff ** 2, axis=-1) - dist2    # [6]
+            jac = 2.0 * jnp.einsum("px,kpx->pk", diff, dv)  # [6, 4]
+            h = jac.T @ jac + 1e-6 * jnp.eye(4)
+            return b - jnp.linalg.solve(h, jac.T @ res), None
+        out, _ = jax.lax.scan(step, betas, None, length=6)
+        return out
+
+    def pose_from_betas(betas):
+        ctrl_c = jnp.einsum("k,kcx->cx", betas, vnull)   # [4, 3]
+        pts_c = alpha @ ctrl_c
+        wsum = jnp.maximum(jnp.sum(weights), 1e-9)
+        mean_z = jnp.sum(pts_c[:, 2] * weights) / wsum
+        flip = jnp.where(mean_z < 0, -1.0, 1.0)
+        pts_c = pts_c * flip
+        r, t = _procrustes_weighted(points3d, pts_c, weights)
+        proj = jnp.stack(
+            [pts_c[:, 0] / jnp.maximum(pts_c[:, 2], 1e-9),
+             pts_c[:, 1] / jnp.maximum(pts_c[:, 2], 1e-9)], axis=-1
+        )
+        err = jnp.sum(
+            jnp.sum((proj - points2d_norm) ** 2, axis=-1) * weights
+        )
+        return r, t, err
+
+    rs, ts, errs = jax.vmap(pose_from_betas)(
+        jnp.stack([gn_refine(betas1), gn_refine(betas2), gn_refine(betas3)])
+    )
+    best = jnp.argmin(errs)
+    return rs[best], ts[best]
+
+
 def _rvec_from_matrix(r: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix → axis-angle (inverse Rodrigues), branchless."""
     cos_t = jnp.clip((jnp.trace(r) - 1.0) / 2.0, -1.0, 1.0)
@@ -208,7 +343,14 @@ def solve_pnp_single(
         [(points2d_safe[:, 0] - cx) / fx, (points2d_safe[:, 1] - cy) / fy], axis=-1
     )
 
-    r0, t0 = _dlt_init(points3d, norm, weights)
+    # DLT needs >= 6 correspondences; EPnP seeds 4/5-point solves (reference:
+    # SOLVEPNP_EPNP below 6, cuboid_pnp_solver.py:163-165). Both are cheap at
+    # this size — compute both and select branchlessly.
+    r_dlt, t_dlt = _dlt_init(points3d, norm, weights)
+    r_ep, t_ep = _epnp_init(points3d, norm, weights)
+    use_dlt = n_valid >= _DLT_MIN_POINTS
+    r0 = jnp.where(use_dlt, r_dlt, r_ep)
+    t0 = jnp.where(use_dlt, t_dlt, t_ep)
     r, t, final_cost = _lm_refine(points3d, points2d_safe, weights, camera, r0, t0)
 
     reproj = _project(cuboid3d, r, t, camera)
@@ -218,7 +360,7 @@ def solve_pnp_single(
     err = jnp.sum(per_pt * weights) / jnp.maximum(n_valid, 1.0)
 
     z_ok = t[2] > 0  # cuboid_pnp_solver.py:207-220 z<0 => fail
-    valid = (n_valid >= jnp.maximum(min_required_points, _MIN_POINTS)) & z_ok
+    valid = (n_valid >= min_required_points) & z_ok
 
     r_gl = _GL_SWAP @ r
     t_gl = _GL_SWAP @ t

@@ -114,13 +114,38 @@ class TestSolvePnP:
         assert float(res.reproj_error) < 5.0
 
     def test_too_few_points_invalid(self):
+        # 3 valid points < min_required_points=4 (cuboid_pnp_solver.py:157).
         cuboid = cuboid_vertices((1, 1, 1))
         pts = np.full((8, 2), -10000.0, np.float32)
-        pts[:4] = [[100, 100], [200, 100], [200, 200], [100, 200]]
+        pts[:3] = [[100, 100], [200, 100], [200, 200]]
         res = solve_pnp_single(
             jnp.asarray(pts), jnp.asarray(cuboid, jnp.float32), jnp.asarray(CAMERA)
         )
         assert not bool(res.valid)
+
+    @pytest.mark.parametrize("n_valid", [4, 5])
+    def test_epnp_recovers_pose_from_few_points(self, n_valid):
+        # The reference solves 4/5-point sets via SOLVEPNP_EPNP
+        # (cuboid_pnp_solver.py:163-165); the old >=6 gate silently dropped
+        # these. Use a non-coplanar corner subset of a true projection.
+        rng = np.random.RandomState(7)
+        cuboid = cuboid_vertices((0.4, 0.6, 0.3)).astype(np.float32)
+        keep = [0, 3, 5, 6, 2][:n_valid]   # tetrahedral-ish spread
+        for trial in range(3):
+            r_gt, t_gt = _random_pose(rng)
+            pts = np.full((8, 2), -10000.0, np.float32)
+            proj = _project_np(cuboid, r_gt, t_gt)
+            pts[keep] = proj[keep]
+            res = solve_pnp_single(
+                jnp.asarray(pts), jnp.asarray(cuboid), jnp.asarray(CAMERA)
+            )
+            assert bool(res.valid), f"trial {trial}: EPnP solve flagged invalid"
+            # Pose check: reprojection of the kept corners is the robust
+            # criterion (few-point P4P can have near-ambiguities).
+            reproj = np.asarray(res.projected)
+            err = np.linalg.norm(reproj[keep] - proj[keep], axis=-1).max()
+            assert err < 1.0, f"trial {trial}: reproj err {err:.2f}px"
+            assert np.linalg.norm(np.asarray(res.translation) - t_gt) < 0.15
 
     def test_opengl_conversion(self):
         rng = np.random.RandomState(5)
