@@ -34,6 +34,16 @@ def parse_args():
     p.add_argument("--seed", type=int, default=317)
     p.add_argument("--num_devices", type=int, default=0, help="0 = all")
     p.add_argument("--input_res", type=int, default=512)
+    p.add_argument(
+        "--num_workers", type=int, default=2,
+        help="parallel loader workers (main_CenterPose.py num_workers parity); "
+             "0 = synchronous",
+    )
+    p.add_argument(
+        "--loader_mode", choices=("thread", "process"), default="thread",
+        help="worker kind: threads (numpy releases the GIL; default on the "
+             "1-core test host) or spawn processes",
+    )
     return p.parse_args()
 
 
@@ -44,7 +54,8 @@ def main():
     import jax
 
     from centerpose_tpu.config import preset
-    from centerpose_tpu.data.dataset import ObjectPoseDataset, collate_filtered
+    from centerpose_tpu.data.dataset import ObjectPoseDataset
+    from centerpose_tpu.data.loader import DataLoader
     from centerpose_tpu.models import create_model
     from centerpose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from centerpose_tpu.training.trainer import (
@@ -94,27 +105,24 @@ def main():
     eval_fn = make_eval_step(cfg, model)
     state = replicate(mesh, state)
 
-    def batches(ds, batch_size, shuffle):
-        order = np.random.permutation(len(ds)) if shuffle else np.arange(len(ds))
-        buf = []
-        for i in order:
-            item = ds[int(i)]
-            if item is None:
-                continue
-            item.pop("meta", None)
-            buf.append(item)
-            if len(buf) == batch_size:
-                yield collate_filtered(buf)
-                buf = []
+    # Parallel prefetching loader (DataLoader(num_workers) parity,
+    # main_CenterPose.py:70-78): host augmentation overlaps the device step.
+    train_loader = DataLoader(
+        train_ds, cfg.batch_size, shuffle=True, num_workers=args.num_workers,
+        seed=args.seed, mode=args.loader_mode, drop_last=True,
+    )
+    val_loader = DataLoader(
+        val_ds, cfg.batch_size, shuffle=False, num_workers=args.num_workers,
+        seed=args.seed, mode=args.loader_mode, drop_last=False,
+    )
 
     best = float("inf")
     for epoch in range(start_epoch + 1, cfg.num_epochs + 1):
         t0 = time.time()
         agg = {}
         n_steps = 0
-        for batch in batches(train_ds, cfg.batch_size, True):
-            if batch is None:
-                continue
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
             batch = shard_batch(mesh, batch)
             state, stats = step_fn(state, batch)
             n_steps += 1
@@ -129,9 +137,7 @@ def main():
 
         if args.val_intervals > 0 and epoch % args.val_intervals == 0:
             vagg, vn = {}, 0
-            for batch in batches(val_ds, cfg.batch_size, False):
-                if batch is None:
-                    continue
+            for batch in val_loader:
                 stats = eval_fn(state, {k: np.asarray(v) for k, v in batch.items()})
                 vn += 1
                 for k, v in stats.items():
