@@ -143,11 +143,16 @@ class Evaluator:
         instances: Sequence[GroundTruthInstance],
         plane: Optional[tuple] = None,
         frame_id: Optional[int] = None,
+        re_pnp=None,
     ):
         """Record metrics for one image's PnP-validated detections.
 
         boxes: detector output tuples (proj9_norm, pts3d_cam, scale_pred, kps9_norm,
         det) — the pnp_shell return quintuple.
+        re_pnp: optional `(det, gt_scale) -> (proj9, pts3d) | None` callback
+        applied AFTER matching — the reference's `predict_gt_scale`
+        (--eval_gt_scale, eval_image_official.py:228-241,399-403) re-runs the
+        PnP shell with the matched GT's scale.
         """
         self.num_gt += len(instances)
         if not instances:
@@ -160,12 +165,19 @@ class Evaluator:
             conf = float(det.get("score", 1.0))
             self.num_pred += 1
 
-            # Greedy match by keypoint L2 (match_box).
+            # Greedy match by keypoint L2 (match_box). Like the reference's
+            # greedy matcher this is NOT one-to-one: two predictions may claim
+            # the same GT (kept for parity — do not "fix").
             norms = np.linalg.norm(gt_kps[:, 1:, :] - np.asarray(kps9)[1:, :], axis=(1, 2))
             i_min = int(np.argmin(norms))
             if vis[i_min] < self.vis_thresh:
                 continue
             gt = instances[i_min]
+
+            if re_pnp is not None:
+                redone = re_pnp(det, gt.scale)
+                if redone is not None:
+                    proj9, pts3d = redone
 
             # Metric-scale recovery from the ground plane.
             pts3d_scaled = np.asarray(pts3d, np.float64)
@@ -297,6 +309,43 @@ class EvalAblation:
     add_noise: bool = False
     noise_std: float = 0.05
     fake_output: bool = False
+    # MODE_5: seed the tracker's first frame with a CenterPose IMAGE model's
+    # detections instead of GT (--eval_CenterPose_initialization,
+    # eval_video_official.py:392-480). Requires `init_detector`.
+    centerpose_init: bool = False
+
+
+def _detector_pre_dets(boxes):
+    """Tracker-seed detections from a CenterPose image model's PnP-validated
+    boxes (eval_video_official.py predict :392-480, MODE_5)."""
+    dets = []
+    for _, _, scale_pred, _, det in boxes:
+        kps = np.asarray(det["kps"], np.float64).reshape(-1, 2)
+        bbox = np.asarray(
+            det.get(
+                "bbox",
+                [kps[:, 0].min(), kps[:, 1].min(), kps[:, 0].max(), kps[:, 1].max()],
+            ),
+            np.float64,
+        )
+        dets.append(
+            {
+                "score": float(det.get("score", 1.0)),
+                "cls": int(det.get("cls", 0)),
+                "bbox": bbox,
+                "ct": det.get(
+                    "ct", [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2]
+                ),
+                "kps": kps.reshape(-1),
+                "tracking": np.zeros(2),
+                "tracking_hp": np.zeros(16),
+                "obj_scale": np.asarray(scale_pred, np.float64),
+                "obj_scale_uncertainty": np.asarray(
+                    det.get("obj_scale_uncertainty", np.full(3, 0.1))
+                ),
+            }
+        )
+    return dets
 
 
 def _gt_pre_dets(instances, width, height, rng, ablation: EvalAblation):
@@ -329,6 +378,37 @@ def _gt_pre_dets(instances, width, height, rng, ablation: EvalAblation):
     return dets
 
 
+def _mobilepose_lift_boxes(boxes, camera, width, height):
+    """Replace each box's (proj9, pts3d) with the MobilePose EPnP lifting
+    (--eval_MobilePose_postprocessing, eval_image_official.py:391-393)."""
+    from centerpose_tpu.evaluation.mobilepose import lift_2d_to_3d
+
+    out = []
+    for proj9, pts3d, scale_pred, kps9, det in boxes:
+        kps = np.asarray(det["kps"], np.float64).reshape(-1, 2)[:8]
+        proj9_l, pts3d_l = lift_2d_to_3d(kps, camera, width, height)
+        out.append((proj9_l, pts3d_l, scale_pred, kps9, det))
+    return out
+
+
+def _make_gt_scale_re_pnp(detector, camera, width, height):
+    """predict_gt_scale callback: re-run the PnP shell with the matched GT's
+    height-normalized scale (eval_image_official.py:228-241)."""
+    meta = {"camera_matrix": camera, "width": width, "height": height}
+
+    def re_pnp(det, gt_scale):
+        det2 = dict(det)
+        det2["obj_scale"] = np.asarray(gt_scale, np.float64) / max(
+            float(gt_scale[1]), 1e-9
+        )
+        boxes = detector.run_pnp([det2], meta)
+        if not boxes:
+            return None
+        return boxes[0][0], boxes[0][1]
+
+    return re_pnp
+
+
 def evaluate_tfrecords(
     detector,
     record_paths: Sequence[str],
@@ -337,10 +417,16 @@ def evaluate_tfrecords(
     is_video: bool = False,
     ablation: Optional[EvalAblation] = None,
     eval_num_symmetry: Optional[int] = None,
+    mobilepose_postprocess: bool = False,
+    gt_scale: bool = False,
+    init_detector=None,
 ) -> Evaluator:
     """Objectron tfrecord evaluation path (eval_image_official.py:1186-1211 /
     eval_video_official.py Dataloader), using the native TFRecord reader
-    (centerpose_tpu/data/tfrecord.py) instead of tf.data."""
+    (centerpose_tpu/data/tfrecord.py) instead of tf.data.
+
+    init_detector: a CenterPose IMAGE-model detector used to seed the tracker
+    on each video's first frame when ablation.centerpose_init is set (MODE_5)."""
     import io
 
     from PIL import Image
@@ -387,7 +473,16 @@ def evaluate_tfrecords(
                 input_meta["camera_matrix"] = np.array(
                     [[k[1, 1], 0, k[1, 2]], [0, k[0, 0], k[0, 2]], [0, 0, 1]]
                 )
-            if is_video and fidx == 0 and ablation.gt_pre_hm_first:
+            # MODE_5 sets both gt_pre_hm_first and centerpose_init; the
+            # CenterPose initialization takes precedence (the point of the
+            # mode is replacing the GT seed with a detector's).
+            if (
+                is_video and fidx == 0 and ablation.centerpose_init
+                and init_detector is not None
+            ):
+                init_out = init_detector.run(img, input_meta or None)
+                input_meta["pre_dets"] = _detector_pre_dets(init_out["boxes"])
+            elif is_video and fidx == 0 and ablation.gt_pre_hm_first:
                 input_meta["pre_dets"] = _gt_pre_dets(
                     instances, w, h, rng, ablation
                 )
@@ -397,8 +492,17 @@ def evaluate_tfrecords(
                 out = detector.run(img, input_meta or None)
                 boxes = out["boxes"]
             prev_boxes = boxes
+            cam = input_meta.get("camera_matrix")
+            if mobilepose_postprocess and cam is not None:
+                boxes = _mobilepose_lift_boxes(boxes, cam, w, h)
+            re_pnp = (
+                _make_gt_scale_re_pnp(detector, cam, w, h)
+                if gt_scale and cam is not None
+                else None
+            )
             evaluator.evaluate_image(
-                boxes, instances, ex.get("plane"), fidx if is_video else None
+                boxes, instances, ex.get("plane"), fidx if is_video else None,
+                re_pnp=re_pnp,
             )
             count += 1
     return evaluator
@@ -411,6 +515,8 @@ def evaluate_dataset(
     max_images: Optional[int] = None,
     is_video: bool = False,
     eval_num_symmetry: Optional[int] = None,
+    mobilepose_postprocess: bool = False,
+    gt_scale: bool = False,
 ) -> Evaluator:
     """Run the detector over a DOPE-style dataset directory and accumulate AP."""
     from PIL import Image
@@ -436,7 +542,18 @@ def evaluate_dataset(
                 [[cam["fx"], 0, cam["cx"]], [0, cam["fy"], cam["cy"]], [0, 0, 1]]
             )
         out = detector.run(img, input_meta or None)
+        boxes = out["boxes"]
+        cam_m = input_meta.get("camera_matrix")
+        h, w = img.shape[:2]
+        if mobilepose_postprocess and cam_m is not None:
+            boxes = _mobilepose_lift_boxes(boxes, cam_m, w, h)
+        re_pnp = (
+            _make_gt_scale_re_pnp(detector, cam_m, w, h)
+            if gt_scale and cam_m is not None
+            else None
+        )
         evaluator.evaluate_image(
-            out["boxes"], instances, plane, frame_id if is_video else None
+            boxes, instances, plane, frame_id if is_video else None,
+            re_pnp=re_pnp,
         )
     return evaluator

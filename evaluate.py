@@ -36,6 +36,25 @@ def parse_args():
     p.add_argument("--eval_add_noise", action="store_true")
     p.add_argument("--eval_fake_output", action="store_true")
     p.add_argument("--eval_empty_pre_hm", action="store_true")
+    p.add_argument(
+        "--eval_CenterPose_initialization", action="store_true",
+        help="seed the tracker's first frame with a CenterPose image model "
+             "(MODE_5, eval_video_official.py:392-480)",
+    )
+    p.add_argument(
+        "--eval_MobilePose_postprocessing", action="store_true",
+        help="replace PnP with MobilePose EPnP 2D→3D lifting "
+             "(eval_image_official.py:805-862)",
+    )
+    p.add_argument(
+        "--eval_gt_scale", action="store_true",
+        help="re-run PnP with the matched GT's scale "
+             "(predict_gt_scale, eval_image_official.py:228-241)",
+    )
+    p.add_argument(
+        "--init_load_model", default="",
+        help="checkpoint for the CenterPose-initialization image model",
+    )
     p.add_argument("--no_kalman", action="store_true")
     p.add_argument("--no_scale_pool", action="store_true")
     p.add_argument("--refined_kalman", action="store_true")
@@ -120,7 +139,20 @@ def main():
             gt_pre_hm_first=args.eval_gt_pre_hm_first,
             add_noise=args.eval_add_noise,
             fake_output=args.eval_fake_output,
+            centerpose_init=args.eval_CenterPose_initialization,
         )
+        init_detector = None
+        if args.eval_CenterPose_initialization:
+            # A CenterPose IMAGE model (dlav1_34) seeding the tracker (MODE_5).
+            init_cfg = preset(
+                "centerpose", category=args.category,
+                input_h=args.input_res, input_w=args.input_res,
+            )
+            init_vars = (
+                _load_variables(args.init_load_model, init_cfg)
+                if args.init_load_model else None
+            )
+            init_detector = Detector(init_cfg, init_vars)
         if args.tfrecords:
             import glob as _glob
 
@@ -163,6 +195,9 @@ def main():
                     is_video=args.tracking,
                     ablation=ablation,
                     eval_num_symmetry=args.eval_num_symmetry or None,
+                    mobilepose_postprocess=args.eval_MobilePose_postprocessing,
+                    gt_scale=args.eval_gt_scale,
+                    init_detector=init_detector,
                 )
         else:
             evaluator = evaluate_dataset(
@@ -172,6 +207,8 @@ def main():
                 max_images=args.max_images or None,
                 is_video=args.tracking,
                 eval_num_symmetry=args.eval_num_symmetry or None,
+                mobilepose_postprocess=args.eval_MobilePose_postprocessing,
+                gt_scale=args.eval_gt_scale,
             )
         report = evaluator.report()
         print(report)

@@ -6,10 +6,18 @@ shell_eval_image_CenterPose.py, shell_eval_video_CenterPose.py,
 shell_eval_video_CenterPoseTrack.py:8-87): subprocess sweeps over the 9 categories
 and predefined ablation modes; symmetric categories get --eval_num_symmetry 100.
 
-Modes (MODE_0..MODE_5 subset of the reference's 9):
-  0 baseline               3 no Kalman filter
-  1 refined Kalman         4 no scale pool
-  2 no filters             5 empty previous heatmaps (tracking null test)
+All 9 reference modes (shell_eval_video_CenterPoseTrack.py:24-52):
+  0 dlav1_34 image model (baseline)
+  1 dlav1_34 + refined Kalman + GT first-frame seed
+  2 dla_34 tracking: Kalman + scale pool + previous heatmaps
+  3 mode 2 + GT first-frame seed
+  4 mode 3 + noise on the seeded GT keypoints
+  5 mode 3 with CenterPose-initialization seeding (an image model's
+    detections seed the tracker instead of GT)
+  6 tracking + GT seed WITHOUT Kalman/scale pool
+  7 tracking + GT seed WITHOUT previous heatmaps (rendered empty here —
+    the stems receive zeros either way)
+  8 mode 3 with emptied previous heatmaps (tracking null test)
 """
 
 import argparse
@@ -23,13 +31,17 @@ CATEGORIES = (
 )
 SYMMETRIC = ("bottle", "cup")
 
+_TRACK = ["--tracking", "--arch", "dla_34"]
 MODES = {
-    0: [],
-    1: ["--refined_kalman"],
-    2: ["--no_kalman", "--no_scale_pool"],
-    3: ["--no_kalman"],
-    4: ["--no_scale_pool"],
-    5: ["--empty_pre_hm"],
+    0: ["--arch", "dlav1_34"],
+    1: ["--arch", "dlav1_34", "--refined_kalman", "--eval_gt_pre_hm_first"],
+    2: _TRACK,
+    3: _TRACK + ["--eval_gt_pre_hm_first"],
+    4: _TRACK + ["--eval_gt_pre_hm_first", "--eval_add_noise"],
+    5: _TRACK + ["--eval_gt_pre_hm_first", "--eval_CenterPose_initialization"],
+    6: _TRACK + ["--eval_gt_pre_hm_first", "--no_kalman", "--no_scale_pool"],
+    7: _TRACK + ["--eval_gt_pre_hm_first", "--eval_empty_pre_hm"],
+    8: _TRACK + ["--eval_gt_pre_hm_first", "--eval_empty_pre_hm"],
 }
 
 
