@@ -3,6 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is value / 500 — the BASELINE.json north-star of >=500 images/sec/chip
 (the PyTorch reference runs 15 fps end-to-end on a GTX 1080Ti, README.md:9).
+
+Protocol: batches are processed in CHAIN-long jit-internal sequences (lax.scan
+with a scalar data dependence between iterations, so steps genuinely serialize
+and each reads a distinct input tensor). This measures the steady-state serving
+rate of a device-resident pipeline; without chaining, every dispatch over the
+axon tunnel pays ~29-47 ms of fixed RTT/framework overhead that no production
+deployment (host-local chip) would see. Each dispatch's result is fetched with
+device_get — on this platform block_until_ready can return before execution
+completes (CLAUDE.md).
 """
 
 import json
@@ -14,6 +23,8 @@ import jax
 import jax.numpy as jnp
 
 TARGET = 500.0  # images/sec/chip north star (BASELINE.md)
+CHAIN = 8       # jitted steps per dispatch
+DISPATCHES = 3
 
 
 def main():
@@ -32,35 +43,34 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x_init)
 
     @jax.jit
-    def step(variables, images):
-        outputs = model.apply(variables, images)
-        outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
-        return object_pose_decode(
-            outputs, k=cfg.K, rep_mode=cfg.rep_mode, inference=True,
-            fit_gaussian=False,
-        )
+    def step_chain(variables, images):
+        def body(carry, _):
+            out = model.apply(variables, images + carry)
+            outputs = {k: v.astype(jnp.float32) for k, v in out.items()}
+            dets = object_pose_decode(
+                outputs, k=cfg.K, rep_mode=cfg.rep_mode, inference=True,
+                fit_gaussian=False,
+            )
+            # The carry serializes iterations and perturbs the next input.
+            return dets["scores"].mean() * 1e-20, dets["scores"][0, 0, 0]
+        _, scores = jax.lax.scan(body, jnp.float32(0.0), None, length=CHAIN)
+        return scores
 
     images = jnp.asarray(
         rng.randn(batch, cfg.input_h, cfg.input_w, 3).astype(np.float32)
     )
 
-    # Warmup / compile. Force a host transfer — on the experimental axon platform
-    # block_until_ready may return before execution completes.
-    out = step(variables, images)
-    float(jax.device_get(out["scores"]).sum())
+    # Warmup / compile; force a host transfer.
+    out = step_chain(variables, images)
+    float(jax.device_get(out).sum())
 
-    # Sustained-throughput protocol: enqueue all iterations (dispatch is
-    # async), then force-fetch every output. Each device_get completes its
-    # iteration, so total wall covers all device work while the tunnel RTT is
-    # paid once instead of per iteration — the steady-state serving rate.
-    iters = 20
     t0 = time.perf_counter()
-    outs = [step(variables, images) for _ in range(iters)]
-    checksum = sum(float(jax.device_get(o["scores"])[0, 0, 0]) for o in outs)
+    outs = [step_chain(variables, images) for _ in range(DISPATCHES)]
+    checksum = sum(float(jax.device_get(o)[0]) for o in outs)
     dt = time.perf_counter() - t0
     assert checksum == checksum  # NaN guard
 
-    ips = batch * iters / dt
+    ips = batch * CHAIN * DISPATCHES / dt
     print(
         json.dumps(
             {

@@ -70,6 +70,15 @@ class CenterPoseConfig:
     K: int = 100                      # top-K centers (opts.py --K)
     rep_mode: int = 1                 # keypoint representation mode (opts.py:211-220)
     test_scales: Tuple[float, ...] = (1.0,)  # multi-scale testing (opts.py --test_scales)
+    # Test-time resolution policy (base_detector.py:91-148, opts.py:124-128,337):
+    #   fix_short > 0  — resize the short side to fix_short, long side rounded up
+    #                    to a multiple of 64;
+    #   fix_res=True   — warp-crop to (input_h, input_w) (the usual mode);
+    #   fix_res=False  — keep resolution, pad each side to (dim | pad) + 1.
+    # Non-fixed modes produce shape-dependent jit retraces (one compile per
+    # distinct padded input shape) — use fix_res for steady-state serving.
+    fix_res: bool = True
+    fix_short: int = -1
     vis_thresh: float = 0.3
     hm_hp_thresh: float = 0.1         # decode.py:117 `thresh`
     nms: bool = True                  # soft-NMS in merge_outputs
@@ -134,6 +143,12 @@ class CenterPoseConfig:
     @property
     def num_joints(self) -> int:
         return NUM_JOINTS
+
+    @property
+    def pad(self) -> int:
+        # Keep-resolution padding granularity (opts.py:346): hourglass needs
+        # 128-aligned inputs for its 5-level pyramid, others 32-aligned.
+        return 127 if "hourglass" in self.arch else 31
 
     @property
     def use_conv_gru(self) -> bool:

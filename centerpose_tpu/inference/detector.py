@@ -119,22 +119,52 @@ class Detector:
         self, image: np.ndarray, input_meta: Optional[dict] = None,
         scale: float = 1.0,
     ):
-        """Fixed-resolution path of base_detector.pre_process (:91-148); `scale`
-        resizes the image first (multi-scale testing)."""
+        """All three testing modes of base_detector.pre_process (:91-148):
+
+        - ``cfg.fix_short > 0``: short side → fix_short, long side rounded up to
+          a multiple of 64; crop window spans the whole image anisotropically.
+        - ``cfg.fix_res`` (the usual mode): warp-crop to (input_h, input_w). With
+          ``scale != 1`` the image is first resized but the crop window keeps the
+          ORIGINAL max(h, w) extent, so the object genuinely shrinks/grows on the
+          input grid — true multi-scale testing, not a resample no-op.
+        - keep-resolution: pad each (scaled) side to ``(dim | cfg.pad) + 1``.
+
+        Non-fixed modes produce per-shape jit retraces (documented in config.py).
+        """
         cfg = self.cfg
+        height, width = image.shape[:2]
+        new_height, new_width = int(height * scale), int(width * scale)
         if scale != 1.0:
             from PIL import Image
 
-            h0, w0 = image.shape[:2]
             image = np.asarray(
                 Image.fromarray(np.asarray(image, np.uint8)).resize(
-                    (int(w0 * scale), int(h0 * scale))
+                    (new_width, new_height)
                 )
             )
-        height, width = image.shape[:2]
-        c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
-        s = max(height, width) * 1.0
-        inp_h, inp_w = cfg.input_h, cfg.input_w
+
+        if cfg.fix_short > 0:
+            # base_detector.py:100-108 — window in ORIGINAL-image units.
+            if height < width:
+                inp_h = cfg.fix_short
+                inp_w = (int(width / height * cfg.fix_short) + 63) // 64 * 64
+            else:
+                inp_h = (int(height / width * cfg.fix_short) + 63) // 64 * 64
+                inp_w = cfg.fix_short
+            c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
+            s = np.array([width, height], dtype=np.float32)
+        elif cfg.fix_res:
+            # base_detector.py:109-114 — center on the resized image, extent from
+            # the original dims (multi-scale zoom).
+            inp_h, inp_w = cfg.input_h, cfg.input_w
+            c = np.array([new_width / 2.0, new_height / 2.0], dtype=np.float32)
+            s = max(height, width) * 1.0
+        else:
+            # keep-res (base_detector.py:115-119).
+            inp_h = (new_height | cfg.pad) + 1
+            inp_w = (new_width | cfg.pad) + 1
+            c = np.array([new_width // 2, new_height // 2], dtype=np.float32)
+            s = np.array([inp_w, inp_h], dtype=np.float32)
 
         trans_input = get_affine_transform(c, s, 0, (inp_w, inp_h))
         inp = warp_affine(image.astype(np.float32), trans_input, (inp_w, inp_h))
@@ -159,7 +189,16 @@ class Detector:
         """object_pose_post_process (src/lib/utils/post_process.py:12-68)."""
         c, s = meta["c"], meta["s"]
         w, h = meta["out_width"], meta["out_height"]
-        scale_fac = s / max(w, h)
+        # With anisotropic windows (fix_short / keep-res) `s` is a 2-vector; the
+        # per-axis factor applies pairwise over flattened (x, y) sequences. (The
+        # reference multiplies the flat vector by s[i]/max(w,h), which only
+        # type-checks for scalar s — the fix_res case it is actually run in.)
+        scale_fac = np.asarray(s, np.float64) / max(w, h)
+
+        def scale_xy(vec: np.ndarray) -> np.ndarray:
+            vec = np.asarray(vec, np.float64)
+            return (vec.reshape(-1, 2) * scale_fac).reshape(vec.shape)
+
         results = []
         k = dets["scores"].shape[1]
         for jdx in range(k):
@@ -168,11 +207,10 @@ class Detector:
                 "cls": int(dets["clses"][0, jdx, 0]),
                 "obj_scale": np.array(dets["obj_scale"][0, jdx]),
                 "obj_scale_uncertainty": np.array(dets["obj_scale_uncertainty"][0, jdx]),
-                "kps_displacement_std": dets["kps_displacement_std"][0, jdx]
-                * scale_fac
+                "kps_displacement_std": scale_xy(dets["kps_displacement_std"][0, jdx])
                 * _STD_COEFFICIENT,
-                "tracking": dets["tracking"][0, jdx] * scale_fac,
-                "tracking_hp": dets["tracking_hp"][0, jdx] * scale_fac,
+                "tracking": scale_xy(dets["tracking"][0, jdx]),
+                "tracking_hp": scale_xy(dets["tracking_hp"][0, jdx]),
             }
             bbox = transform_preds(dets["bboxes"][0, jdx].reshape(2, 2), c, s, (w, h))
             item["bbox"] = bbox.reshape(4)
@@ -190,7 +228,7 @@ class Detector:
                 dets["kps_heatmap_mean"][0, jdx].reshape(-1, 2), c, s, (w, h)
             ).reshape(-1)
             item["kps_heatmap_std"] = (
-                dets["kps_heatmap_std"][0, jdx] * scale_fac * _STD_COEFFICIENT
+                scale_xy(dets["kps_heatmap_std"][0, jdx]) * _STD_COEFFICIENT
             )
             item["kps_heatmap_height"] = dets["kps_heatmap_height"][0, jdx]
             results.append(item)
@@ -379,6 +417,27 @@ class Detector:
                 extra = dict(pre_img=pre_images, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp)
             outputs, dets = self._forward_decode(self.variables, images_j, **extra)
             dets = {k_: np.asarray(v) for k_, v in dets.items()}
+            if getattr(self, "debug_level", 0) >= 2 and scale == 1.0:
+                # Raw maps for render_debug (object_pose.py:199-279 canvases).
+                self._debug_raw = {
+                    "inp": np.asarray(images[0]),
+                    "hm": np.asarray(outputs["hm"][0], np.float32),
+                    "hm_hp": (
+                        np.asarray(outputs["hm_hp"][0], np.float32)
+                        if "hm_hp" in outputs else None
+                    ),
+                    "dets": dets,
+                    "pre_hm": (
+                        np.asarray(extra["pre_hm"][0]) if "pre_hm" in extra else None
+                    ),
+                    "pre_hm_hp": (
+                        np.asarray(extra["pre_hm_hp"][0])
+                        if "pre_hm_hp" in extra else None
+                    ),
+                    "pre_img": (
+                        np.asarray(extra["pre_img"][0]) if "pre_img" in extra else None
+                    ),
+                }
             t2 = time.time()
             times["net"] += t2 - t1
 
@@ -502,3 +561,104 @@ class Detector:
         self.pre_images = None
         if self.tracker is not None:
             self.tracker.reset()
+
+    # ------------------------------------------------------------------ debug
+    def render_debug(self, image: np.ndarray, out: Dict[str, Any]):
+        """The reference detector's debug canvases (`ObjectPoseDetector.debug`
+        object_pose.py:199-279 + `show_results` :281-313): heatmap blends over
+        the warped network input, decoded-keypoint views, and the final
+        image-space render with PnP cuboids, scale text, and object axes.
+
+        Requires a prior `run` with `self.debug_level >= 2` (stashes raw maps).
+        Returns the Debugger (canvases in `.imgs`; `save_all_imgs` to dump).
+        """
+        from centerpose_tpu.utils.debugger import Debugger
+
+        cfg = self.cfg
+        raw = getattr(self, "_debug_raw", None)
+        dbg = Debugger(down_ratio=cfg.down_ratio)
+
+        if raw is not None:
+            inp = ((raw["inp"] * self.std + self.mean) * 255.0).clip(0, 255).astype(
+                np.uint8
+            )
+            sig = 1.0 / (1.0 + np.exp(-raw["hm"]))
+            dbg.add_blend_img(inp, dbg.gen_colormap(sig, inp.shape[:2]), "out_hm_pred")
+            dets = raw["dets"]
+            r = cfg.down_ratio
+            for k in range(dets["scores"].shape[1]):
+                if dets["scores"][0, k, 0] > cfg.vis_thresh:
+                    dbg.add_coco_bbox(
+                        dets["bboxes"][0, k] * r, 0, dets["scores"][0, k, 0],
+                        show_txt=False, img_id="out_hm_pred",
+                    )
+            if raw["hm_hp"] is not None:
+                sig_hp = 1.0 / (1.0 + np.exp(-raw["hm_hp"]))
+                dbg.add_blend_img(
+                    inp, dbg.gen_colormap_hp(sig_hp, inp.shape[:2]), "out_hmhp_pred"
+                )
+                for k in range(dets["scores"].shape[1]):
+                    if dets["scores"][0, k, 0] > cfg.vis_thresh:
+                        dbg.add_coco_hp(
+                            dets["kps_displacement_mean"][0, k] * r,
+                            img_id="out_hmhp_pred",
+                        )
+            # Decoded keypoint estimates: displacement (pred) vs heatmap (extra).
+            dbg.add_img(inp, "out_kps_processed_pred")
+            for k in range(dets["scores"].shape[1]):
+                if dets["scores"][0, k, 0] <= cfg.vis_thresh:
+                    continue
+                dbg.add_coco_hp(
+                    dets["kps_displacement_mean"][0, k] * r,
+                    img_id="out_kps_processed_pred",
+                )
+                hm_kps = np.asarray(dets["kps_heatmap_mean"][0, k], np.float64)
+                hm_kps = np.where(hm_kps <= -10000, -10000.0, hm_kps * r)
+                dbg.add_coco_hp(hm_kps, img_id="out_kps_processed_pred",
+                                pred_flag="extra")
+            if "tracking" in dets:
+                dbg.add_img(inp, "out_tracking_pred")
+                for k in range(dets["scores"].shape[1]):
+                    if dets["scores"][0, k, 0] <= cfg.vis_thresh:
+                        continue
+                    bb = dets["bboxes"][0, k] * r
+                    ct = [(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2]
+                    dbg.add_arrow(ct, dets["tracking"][0, k] * r,
+                                  "out_tracking_pred", c=(255, 255, 0))
+            if raw.get("pre_img") is not None:
+                pre_img = (
+                    (raw["pre_img"] * self.std + self.mean) * 255.0
+                ).clip(0, 255).astype(np.uint8)
+                if raw.get("pre_hm") is not None:
+                    dbg.add_blend_img(
+                        pre_img,
+                        dbg.gen_colormap(raw["pre_hm"], pre_img.shape[:2]),
+                        "pre_hm",
+                    )
+                if raw.get("pre_hm_hp") is not None:
+                    dbg.add_blend_img(
+                        pre_img,
+                        dbg.gen_colormap_hp(raw["pre_hm_hp"], pre_img.shape[:2]),
+                        "pre_hmhp",
+                    )
+
+        # Final image-space render (show_results, object_pose.py:281-313).
+        dbg.add_img(np.asarray(image, np.uint8), "out_img_pred")
+        h, w = np.asarray(image).shape[:2]
+        camera = DEFAULT_CAMERA
+        if out.get("meta") and "camera_matrix" in out["meta"]:
+            camera = np.asarray(out["meta"]["camera_matrix"], np.float64)
+        for det in out.get("results", []):
+            dbg.add_coco_bbox(det["bbox"], 0, det["score"], img_id="out_img_pred")
+            dbg.add_coco_hp(det["kps"], img_id="out_img_pred")
+        for box in out.get("boxes", ()):
+            proj9, pts3d, obj_scale, _, det = box
+            proj = np.asarray(proj9, np.float64)[1:].copy()
+            proj[:, 0] *= w
+            proj[:, 1] *= h
+            dbg.add_coco_hp(proj, img_id="out_img_pred", pred_flag="pnp")
+            dbg.add_obj_scale(det["bbox"], obj_scale, img_id="out_img_pred",
+                              pred_flag="pnp")
+            dbg.add_axes(np.asarray(pts3d, np.float64), camera,
+                         img_id="out_img_pred")
+        return dbg

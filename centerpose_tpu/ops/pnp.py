@@ -60,8 +60,12 @@ def rotation_to_quaternion(r: jnp.ndarray) -> jnp.ndarray:
 
 
 def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle → rotation matrix (matrix exponential on so(3))."""
-    theta = jnp.linalg.norm(rvec)
+    """Axis-angle → rotation matrix (matrix exponential on so(3)).
+
+    The norm is guarded so the function is differentiable at θ=0 (plain
+    jnp.linalg.norm has a NaN gradient at the origin, which a jnp.where on the
+    output would still propagate)."""
+    theta = jnp.sqrt(jnp.sum(rvec ** 2) + 1e-24)
     safe = jnp.maximum(theta, 1e-12)
     k = rvec / safe
     kx = jnp.array(
@@ -254,55 +258,69 @@ def _epnp_init(points3d, points2d_norm, weights):
     return rs[best], ts[best]
 
 
-def _rvec_from_matrix(r: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix → axis-angle (inverse Rodrigues), branchless."""
-    cos_t = jnp.clip((jnp.trace(r) - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    axis_raw = jnp.array([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
-    sin_t = jnp.maximum(jnp.sin(theta), 1e-9)
-    axis = axis_raw / (2.0 * sin_t)
-    # Near theta == pi the off-diagonal formula degenerates; use the diagonal.
-    diag_axis = jnp.sqrt(jnp.maximum((jnp.diag(r) + 1.0) / 2.0, 0.0))
-    diag_axis = diag_axis * jnp.sign(
-        jnp.array([1.0, jnp.sign(r[0, 1] + 1e-30), jnp.sign(r[0, 2] + 1e-30)])
-    )
-    near_pi = theta > 3.1
-    axis = jnp.where(near_pi, diag_axis / jnp.maximum(jnp.linalg.norm(diag_axis), 1e-9), axis)
-    return jnp.where(theta < 1e-9, jnp.zeros(3), axis * theta)
-
-
 def _lm_refine(points3d, points2d, weights, camera, r0, t0):
-    """Fixed-iteration Levenberg-Marquardt on weighted reprojection error."""
-    params0 = jnp.concatenate([_rvec_from_matrix(r0), t0])
+    """Fixed-iteration Levenberg-Marquardt on weighted reprojection error.
 
-    def residuals(params):
-        r = rodrigues(params[:3])
-        proj = _project(points3d, r, params[3:], camera)
+    State is (R, t) with LEFT multiplicative rotation updates R ← exp(δ)·R and
+    a closed-form jacobian: with q = R·X, d(exp(δ)q + t)/dδ|₀ = −[q]× and
+    ∂proj/∂pc the pinhole derivative. Exact linearization at the current
+    estimate, no jacfwd passes, and no inverse-Rodrigues extraction (whose
+    θ≈π branch is degenerate)."""
+    fx, fy = camera[0, 0], camera[1, 1]
+
+    def residuals(r, t):
+        proj = _project(points3d, r, t, camera)
         return ((proj - points2d) * weights[:, None]).reshape(-1)
 
-    def cost(params):
-        res = residuals(params)
+    def cost(r, t):
+        res = residuals(r, t)
         return jnp.sum(res ** 2)
 
+    def jacobian(r, t):
+        q = points3d @ r.T            # [n, 3] rotated points (pre-translation)
+        pc = q + t
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9,
+                      jnp.where(pc[:, 2] < 0, -1e-9, 1e-9), pc[:, 2])
+        zi = 1.0 / z
+        zeros = jnp.zeros_like(zi)
+        du = jnp.stack([fx * zi, zeros, -fx * pc[:, 0] * zi * zi], axis=-1)
+        dv = jnp.stack([zeros, fy * zi, -fy * pc[:, 1] * zi * zi], axis=-1)
+        # d pc/d[δ|t] = [−[q]× | I]  →  [n, 3, 6]
+        q1, q2, q3 = q[:, 0], q[:, 1], q[:, 2]
+        mcross = jnp.stack(
+            [jnp.stack([zeros, q3, -q2], axis=-1),
+             jnp.stack([-q3, zeros, q1], axis=-1),
+             jnp.stack([q2, -q1, zeros], axis=-1)], axis=1
+        )                                                    # [n, 3, 3]
+        dpd = jnp.concatenate(
+            [mcross, jnp.broadcast_to(jnp.eye(3), mcross.shape)], axis=-1
+        )                                                    # [n, 3, 6]
+        ju = jnp.einsum("ni,nij->nj", du, dpd)
+        jv = jnp.einsum("ni,nij->nj", dv, dpd)
+        jac = jnp.stack([ju, jv], axis=1) * weights[:, None, None]
+        return jac.reshape(-1, 6)                            # [2n, 6]
+
     def step(state, _):
-        params, lam, best_cost = state
-        res = residuals(params)
-        jac = jax.jacfwd(residuals)(params)  # [2n, 6]
+        r, t, lam, best_cost = state
+        res = residuals(r, t)
+        jac = jacobian(r, t)
         h = jac.T @ jac + lam * jnp.eye(6)
         g = jac.T @ res
         delta = jnp.linalg.solve(h, g)
-        cand = params - delta
-        cand_cost = cost(cand)
+        r_cand = rodrigues(-delta[:3]) @ r
+        t_cand = t - delta[3:]
+        cand_cost = cost(r_cand, t_cand)
         improved = cand_cost < best_cost
-        params = jnp.where(improved, cand, params)
+        r = jnp.where(improved, r_cand, r)
+        t = jnp.where(improved, t_cand, t)
         lam = jnp.where(improved, lam / 3.0, lam * 10.0)
         lam = jnp.clip(lam, 1e-10, 1e10)
         best_cost = jnp.minimum(cand_cost, best_cost)
-        return (params, lam, best_cost), None
+        return (r, t, lam, best_cost), None
 
-    state0 = (params0, jnp.asarray(1e-3), cost(params0))
-    (params, _, final_cost), _ = jax.lax.scan(step, state0, None, length=_LM_ITERS)
-    return rodrigues(params[:3]), params[3:], final_cost
+    state0 = (r0, t0, jnp.asarray(1e-3), cost(r0, t0))
+    (r, t, _, final_cost), _ = jax.lax.scan(step, state0, None, length=_LM_ITERS)
+    return r, t, final_cost
 
 
 _GL_SWAP = jnp.array(

@@ -231,7 +231,11 @@ class Tracker:
             return ret, boxes
 
         # Steps 5-6: filtered keypoints + pooled scale → re-PnP (tracker.py:238-292).
+        # TPU-native: ONE fixed-shape solve over cfg.max_tracks padded slots per
+        # frame (a per-track solve_pnp_single loop costs one ~29ms tunnel
+        # dispatch per track and retraces on every new track count).
         new_boxes = []
+        pnp_inputs = []
         for track in ret:
             kps_mean_kf = np.asarray(track["kps"], np.float64).reshape(-1, 2)
             kps_conf = None
@@ -250,65 +254,91 @@ class Tracker:
                 track["obj_scale_kf"] = mean
                 track["obj_scale_uncertainty_kf"] = std
                 scale_new = mean
+            pnp_inputs.append((track, kps_mean_kf, scale_new, kps_conf))
 
-            ret_pnp = self._re_pnp(track, kps_mean_kf, scale_new)
-            if ret_pnp is not None:
-                conf_avg = float(np.sum(kps_conf) / 8) if kps_conf is not None else 1.0
-                if conf_avg > 0.25:
-                    new_boxes.append(ret_pnp)
-                track["kps_pnp_kf"] = ret_pnp[0]
-                track["kps_3d_cam_kf"] = ret_pnp[1]
-                track["kps_ori_kf"] = ret_pnp[3]
+        results = self._re_pnp_batch(pnp_inputs[: cfg.max_tracks])
+        for (track, _, scale_new, kps_conf), ret_pnp in zip(pnp_inputs, results):
+            if ret_pnp is None:
+                continue
+            conf_avg = float(np.sum(kps_conf) / 8) if kps_conf is not None else 1.0
+            if conf_avg > 0.25:
+                new_boxes.append(ret_pnp)
+            track["kps_pnp_kf"] = ret_pnp[0]
+            track["kps_3d_cam_kf"] = ret_pnp[1]
+            track["kps_ori_kf"] = ret_pnp[3]
 
         self.tracks = ret
         return ret, new_boxes
 
     # ------------------------------------------------------------------ re-PnP
-    def _re_pnp(self, track: dict, kps: np.ndarray, scale: np.ndarray):
-        """pnp_shell on KF-filtered keypoints (tracker.py:276-292)."""
+    def _re_pnp_batch(self, items):
+        """pnp_shell on KF-filtered keypoints (tracker.py:276-292) for ALL
+        tracks in ONE fixed-shape device solve (cfg.max_tracks padded slots —
+        invalid slots carry the -10000 sentinel so n_valid=0 ⇒ valid=False).
+
+        `items` is [(track, kps, scale, kps_conf), ...]; returns a parallel
+        list of pnp_shell tuples or None.
+        """
+        import jax
         import jax.numpy as jnp
 
         from centerpose_tpu.geometry.cuboid import cuboid_vertices
         from centerpose_tpu.inference.detector import _NUM_NOT_VISIBLE_THRESH
-        from centerpose_tpu.ops.pnp import solve_pnp_single
+        from centerpose_tpu.ops.pnp import solve_pnp_batch
 
-        if self.meta is None or "camera_matrix" not in self.meta:
-            return None
-        scale = np.asarray(scale, np.float64)
-        cuboid = cuboid_vertices(scale / max(float(scale[1]), 1e-9))
-        res = solve_pnp_single(
-            jnp.asarray(kps.reshape(-1, 2), jnp.float32),
-            jnp.asarray(cuboid, jnp.float32),
+        if self.meta is None or "camera_matrix" not in self.meta or not items:
+            return [None] * len(items)
+
+        m = self.cfg.max_tracks
+        kps_pad = np.full((m, 8, 2), -10000.0, np.float32)
+        # Unit cuboid in padded slots keeps the branchless solver well-posed.
+        cuboids = np.tile(cuboid_vertices(np.ones(3)), (m, 1, 1))
+        for i, (_, kps, scale, _) in enumerate(items):
+            kps_pad[i] = np.asarray(kps, np.float64).reshape(8, 2)
+            s = np.asarray(scale, np.float64)
+            cuboids[i] = cuboid_vertices(s / max(float(s[1]), 1e-9))
+
+        res = solve_pnp_batch(
+            jnp.asarray(kps_pad),
+            jnp.asarray(cuboids, jnp.float32),
             jnp.asarray(np.asarray(self.meta["camera_matrix"]), jnp.float32),
         )
-        if not bool(res.valid):
-            return None
-        location = np.asarray(res.translation_gl)
-        track["location"] = location.tolist()
-        track["quaternion_xyzw"] = np.asarray(res.quaternion_gl).tolist()
+        res = jax.tree_util.tree_map(np.asarray, res)
 
-        r_gl = np.asarray(res.rotation_gl)
-        pts3d = cuboid @ r_gl.T + location
-        pts3d = np.vstack([pts3d.mean(axis=0, keepdims=True), pts3d])
+        outs = []
+        for i, (track, _, _, _) in enumerate(items):
+            if not bool(res.valid[i]):
+                outs.append(None)
+                continue
+            location = res.translation_gl[i].astype(np.float64)
+            track["location"] = location.tolist()
+            track["quaternion_xyzw"] = res.quaternion_gl[i].tolist()
 
-        proj = np.asarray(res.projected, np.float64)
-        proj9 = np.vstack([proj.mean(axis=0, keepdims=True), proj])
-        proj9[:, 0] /= self.meta["width"]
-        proj9[:, 1] /= self.meta["height"]
+            r_gl = res.rotation_gl[i].astype(np.float64)
+            pts3d = cuboids[i] @ r_gl.T + location
+            pts3d = np.vstack([pts3d.mean(axis=0, keepdims=True), pts3d])
 
-        thresh = _NUM_NOT_VISIBLE_THRESH.get(self.cfg.category)
-        if thresh is not None:
-            out = (
-                (proj9[:, 0] < 0) | (proj9[:, 0] > 1)
-                | (proj9[:, 1] < 0) | (proj9[:, 1] > 1)
-            ).sum()
-            if out >= thresh:
-                return None
-        if not (0 < proj9[0, 0] < 1 and 0 < proj9[0, 1] < 1):
-            return None
+            proj = np.asarray(res.projected[i], np.float64)
+            proj9 = np.vstack([proj.mean(axis=0, keepdims=True), proj])
+            proj9[:, 0] /= self.meta["width"]
+            proj9[:, 1] /= self.meta["height"]
 
-        kps9 = np.asarray(track["kps"], np.float64).reshape(-1, 2)
-        kps9 = np.vstack([kps9.mean(axis=0, keepdims=True), kps9])
-        kps9[:, 0] /= self.meta["width"]
-        kps9[:, 1] /= self.meta["height"]
-        return proj9, pts3d, np.asarray(track["obj_scale"]), kps9, track
+            thresh = _NUM_NOT_VISIBLE_THRESH.get(self.cfg.category)
+            if thresh is not None:
+                out = (
+                    (proj9[:, 0] < 0) | (proj9[:, 0] > 1)
+                    | (proj9[:, 1] < 0) | (proj9[:, 1] > 1)
+                ).sum()
+                if out >= thresh:
+                    outs.append(None)
+                    continue
+            if not (0 < proj9[0, 0] < 1 and 0 < proj9[0, 1] < 1):
+                outs.append(None)
+                continue
+
+            kps9 = np.asarray(track["kps"], np.float64).reshape(-1, 2)
+            kps9 = np.vstack([kps9.mean(axis=0, keepdims=True), kps9])
+            kps9[:, 0] /= self.meta["width"]
+            kps9[:, 1] /= self.meta["height"]
+            outs.append((proj9, pts3d, np.asarray(track["obj_scale"]), kps9, track))
+        return outs

@@ -31,6 +31,17 @@ def parse_args():
         "--batch_size", type=int, default=1,
         help="folder mode: batch the network pass over N images (TPU serving path)",
     )
+    p.add_argument(
+        "--keep_res", action="store_true",
+        help="keep input resolution, pad to the arch's alignment "
+             "(opts.py --keep_res; per-shape jit retrace)",
+    )
+    p.add_argument(
+        "--fix_short", type=int, default=-1,
+        help="resize the short side to this, round the long side up to x64 "
+             "(opts.py --fix_short)",
+    )
+    p.add_argument("--input_res", type=int, default=512)
     return p.parse_args()
 
 
@@ -47,6 +58,10 @@ def load_detector(args):
         category=args.category,
         vis_thresh=args.vis_thresh,
         rep_mode=args.rep_mode,
+        fix_res=not args.keep_res,
+        fix_short=args.fix_short,
+        input_h=args.input_res,
+        input_w=args.input_res,
     )
     variables = None
     if args.load_model:
@@ -109,6 +124,7 @@ def _frames(args):
 def main():
     args = parse_args()
     detector = load_detector(args)
+    detector.debug_level = args.debug
     os.makedirs(args.out_dir, exist_ok=True)
 
     meta = {}
@@ -148,6 +164,11 @@ def main():
             vis = draw_detections(img, out["results"], out["boxes"])
             base = os.path.splitext(os.path.basename(path))[0]
             Image.fromarray(vis).save(os.path.join(args.out_dir, base + ".png"))
+        if args.debug >= 2:
+            # Full reference canvas set (object_pose.py:199-313 debug levels).
+            base = os.path.splitext(os.path.basename(path))[0]
+            dbg = detector.render_debug(img, out)
+            dbg.save_all_imgs(os.path.join(args.out_dir, "debug"), prefix=base + "_")
 
     if args.batch_size > 1 and not args.tracking:
         buf = []

@@ -64,7 +64,7 @@ class TestDemoCLI:
         out_dir = str(tmp_path / "demo_out")
         proc = _run(
             ["demo.py", "--demo", img, "--c", "shoe", "--arch", "dlav1_34",
-             "--out_dir", out_dir],
+             "--out_dir", out_dir, "--debug", "2"],
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         outs = os.listdir(out_dir)
@@ -72,6 +72,11 @@ class TestDemoCLI:
         with open(os.path.join(out_dir, "00000.json")) as f:
             rec = json.load(f)
         assert "detections" in rec
+        # --debug 2 emits the reference's canvas set (object_pose.py:199-313).
+        dbg_files = os.listdir(os.path.join(out_dir, "debug"))
+        for canvas in ("out_hm_pred", "out_hmhp_pred", "out_kps_processed_pred",
+                       "out_img_pred"):
+            assert any(canvas in f for f in dbg_files), (canvas, dbg_files)
 
 
 class TestEvaluateCLI:

@@ -158,3 +158,81 @@ class TestDeviceResample:
                                64, 64, normalize=False)
         )
         np.testing.assert_allclose(dev, host, atol=0.5)  # uint8 bilinear tolerance
+
+
+class TestPreprocessModes:
+    """base_detector.pre_process mode parity (base_detector.py:91-148)."""
+
+    def _detector(self, **kw):
+        cfg = preset("centerpose", input_h=64, input_w=64, K=8, vis_thresh=0.0, **kw)
+        return Detector(cfg)
+
+    def test_fix_short_shapes_and_center_mapping(self):
+        det = self._detector(fix_short=64)
+        img = np.zeros((100, 300, 3), np.uint8)  # landscape: short side = height
+        images, meta = det.pre_process(img)
+        # short side -> 64, long side rounded up to a multiple of 64.
+        assert images.shape[1] == 64
+        assert images.shape[2] == (int(300 / 100 * 64) + 63) // 64 * 64
+        assert meta["out_height"] == images.shape[1] // 4
+        # image center maps to input-grid center.
+        from centerpose_tpu.geometry.affine import affine_transform, get_affine_transform
+
+        trans = get_affine_transform(meta["c"], meta["s"], 0,
+                                     (images.shape[2], images.shape[1]))
+        ctr = affine_transform([150.0, 50.0], trans)
+        np.testing.assert_allclose(ctr, [images.shape[2] / 2, images.shape[1] / 2],
+                                   atol=1e-3)
+
+    def test_fix_short_portrait(self):
+        det = self._detector(fix_short=64)
+        img = np.zeros((300, 100, 3), np.uint8)
+        images, _ = det.pre_process(img)
+        assert images.shape[2] == 64
+        assert images.shape[1] == (int(300 / 100 * 64) + 63) // 64 * 64
+
+    def test_keep_res_pads_and_translates(self):
+        det = self._detector(fix_res=False)
+        img = np.zeros((60, 90, 3), np.uint8)
+        images, meta = det.pre_process(img)
+        assert images.shape[1:3] == ((60 | 31) + 1, (90 | 31) + 1)  # 64, 96
+        # keep-res is a pure translation: pixel p -> p + (inp/2 - c).
+        from centerpose_tpu.geometry.affine import affine_transform, get_affine_transform
+
+        inp_h, inp_w = images.shape[1:3]
+        trans = get_affine_transform(meta["c"], meta["s"], 0, (inp_w, inp_h))
+        p = affine_transform([10.0, 20.0], trans)
+        np.testing.assert_allclose(
+            p, [10.0 - 45 + inp_w / 2, 20.0 - 30 + inp_h / 2], atol=1e-3
+        )
+
+    def test_fix_res_multiscale_zooms_out(self):
+        """At scale 0.5 the image must occupy half the input window (the crop
+        extent stays max(orig h, w)) — not be resampled back to full size."""
+        det = self._detector()
+        img = np.zeros((128, 128, 3), np.uint8)
+        _, meta = det.pre_process(img, scale=0.5)
+        assert meta["s"] == 128.0  # original extent
+        np.testing.assert_allclose(meta["c"], [32.0, 32.0])  # resized center
+        from centerpose_tpu.geometry.affine import affine_transform, get_affine_transform
+
+        trans = get_affine_transform(meta["c"], meta["s"], 0, (64, 64))
+        # resized-image corner (0,0) lands at 1/4 of the window, not its corner.
+        np.testing.assert_allclose(affine_transform([0.0, 0.0], trans), [16.0, 16.0],
+                                   atol=1e-3)
+
+    def test_keep_res_end_to_end(self):
+        det = self._detector(fix_res=False)
+        rng = np.random.RandomState(0)
+        img = (rng.rand(60, 90, 3) * 255).astype(np.uint8)
+        out = det.run(img)
+        assert out["meta"]["height"] == 60
+        for d in out["results"]:
+            assert np.all(np.isfinite(d["bbox"]))
+
+    def test_fix_short_end_to_end(self):
+        det = self._detector(fix_short=64)
+        rng = np.random.RandomState(1)
+        img = (rng.rand(80, 120, 3) * 255).astype(np.uint8)
+        out = det.run(img)
+        assert len(out["results"]) <= det.cfg.K

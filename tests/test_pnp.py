@@ -204,7 +204,7 @@ class TestLMOptimality:
         import jax
         import jax.numpy as jnp
 
-        from centerpose_tpu.ops.pnp import _project, _rvec_from_matrix, rodrigues
+        from centerpose_tpu.ops.pnp import _project, rodrigues
 
         rng = np.random.RandomState(11)
         cuboid = cuboid_vertices((0.4, 1.0, 0.6))
@@ -217,13 +217,15 @@ class TestLMOptimality:
             jnp.asarray(CAMERA),
         )
 
-        params = jnp.concatenate(
-            [_rvec_from_matrix(res.rotation), res.translation]
-        )
+        # Parametrize around the solution with the solver's own chart: a LEFT
+        # rotation perturbation exp(δ)·R* and the translation. Stationary ⇒
+        # gradient ~0 at (δ=0, t*).
+        params = jnp.concatenate([jnp.zeros(3), res.translation])
 
         def cost(p):
+            r = rodrigues(p[:3]) @ jnp.asarray(res.rotation)
             proj = _project(
-                jnp.asarray(cuboid, jnp.float32), rodrigues(p[:3]), p[3:],
+                jnp.asarray(cuboid, jnp.float32), r, p[3:],
                 jnp.asarray(CAMERA),
             )
             return jnp.sum((proj - jnp.asarray(pts2d, jnp.float32)) ** 2)

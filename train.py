@@ -44,6 +44,12 @@ def parse_args():
         help="worker kind: threads (numpy releases the GIL; default on the "
              "1-core test host) or spawn processes",
     )
+    p.add_argument(
+        "--debug", type=int, default=0,
+        help=">0 saves the reference's pred/GT debug canvases for the first "
+             "batch of every epoch to exp/.../debug/ "
+             "(trains/object_pose.py:218-401 parity)",
+    )
     return p.parse_args()
 
 
@@ -116,6 +122,21 @@ def main():
         seed=args.seed, mode=args.loader_mode, drop_last=False,
     )
 
+    debug_fwd = None
+    if args.debug > 0:
+        from centerpose_tpu.training.debug import render_train_debug, save_train_debug
+
+        @jax.jit
+        def debug_fwd(variables, batch):
+            kwargs = {}
+            if cfg.tracking_task:
+                kwargs = dict(
+                    pre_img=batch.get("pre_img"),
+                    pre_hm=batch.get("pre_hm"),
+                    pre_hm_hp=batch.get("pre_hm_hp"),
+                )
+            return model.apply(variables, batch["input"], train=False, **kwargs)
+
     best = float("inf")
     for epoch in range(start_epoch + 1, cfg.num_epochs + 1):
         t0 = time.time()
@@ -123,6 +144,12 @@ def main():
         n_steps = 0
         train_loader.set_epoch(epoch)
         for batch in train_loader:
+            if debug_fwd is not None and n_steps == 0:
+                variables = {"params": state.params, "batch_stats": state.batch_stats}
+                outputs = debug_fwd(variables, batch)
+                imgs = render_train_debug(batch, outputs, cfg)
+                save_train_debug(imgs, os.path.join(exp_dir, "debug"), f"e{epoch}_")
+                logger.write(f"debug canvases saved: {sorted(imgs)}")
             batch = shard_batch(mesh, batch)
             state, stats = step_fn(state, batch)
             n_steps += 1
