@@ -17,10 +17,11 @@ on-the-fly one-hot selectors, so the sampling rides the MXU:
   rows shares the (G + 2R + 2)-row input window across all G rows' samples —
   MXU work per row shrinks by G·(2R+3)/(G+2R+2) vs one-row programs.
 
-Layout ("transposed-S"): samples live on LANES, lane = g·9W + t·W + w
-(row-of-block major, then tap, then column — so the final conv slices whole
-lane tiles per (g, t)). All per-sample scalars are [1, G·9W] lane vectors —
-every broadcast is a free sublane replication; no in-kernel transposes:
+Layout ("transposed-S"): samples live on LANES, lane = t·GW + g·W + w
+(tap major, then row-of-block, then column — so the final conv slices ONE
+[C, G·W] lane block per tap: 9 output matmuls per program independent of G).
+All per-sample scalars are [1, G·9W] lane vectors — every broadcast is a free
+sublane replication; no in-kernel transposes:
 
   ohT[x', s]  = (x' == x0[s] + 1)          # [W+1, GS] pure 0/1, bf16-exact
   sT          = cat(rho) @ ohT             # ONE [2C, W+1]x[W+1, GS] MXU matmul
@@ -31,7 +32,7 @@ every broadcast is a free sublane replication; no in-kernel transposes:
                                            # cases fall out automatically
   bx          = s0·(1-fx) + s1·fx          # f32 VPU blend (fx never quantized)
   acc        += ((rho==ly)·(1-fy) + (rho==ly+1)·fy) · bx     # y blend
-  outT[g]     = Σ_t W[t]ᵀ @ (mask·acc)[:, (g·9+t)W:(g·9+t+1)W]
+  outT        = Σ_t W[t]ᵀ @ (mask·acc)[:, t·GW:(t+1)·GW]     # [Co, G·W]
 
 The kernel emits [B, H, Co, W]; the caller transposes back to NHWC (an XLA
 transpose, fused with the bias add).
@@ -50,14 +51,35 @@ from jax.experimental.pallas import tpu as pltpu
 from centerpose_tpu.ops.dcn import dcn_v2
 
 
-def _pick_block_rows(h: int, w: int, c: int, radius: int) -> int:
-    """Row-blocking G trades grid overhead against MXU waste: every extra
-    window row multiplies ALL G rows' samples, so per-row matmul work is
-    (G + 2R + 2)/G vs (2R + 3) at G=1 — G=2 halves program count at equal
-    MACs; G>2 only pays off if per-program overhead dominates (measured: it
-    does not). Keep the window inside H and G | H."""
-    for g in (2, 1):
-        if h % g == 0 and h >= g + 2 * radius + 2:
+def _pick_block_rows(h: int, w: int, c: int, radius: int,
+                     itemsize: int = 2, mrows: int = None) -> int:
+    """Row-blocking G: per-program fixed overhead (~5 µs: grid dispatch, loop
+    machinery, cross-lane reductions) dominates the sampling MACs by 10x at
+    G=2 (measured round 2: 75 MMAC ≈ 0.4 µs vs ~5 µs overhead), so larger
+    blocks win even though every window-row matmul multiplies all G rows'
+    samples (window rows grow as G+2 adaptive). Pick the largest G with the
+    window inside H, G | H, and kernel live buffers within VMEM (~16 MB/core:
+    one-hot [W, G·9W] + accumulators [C, G·9W] x2 + the resident feature map)."""
+    mrows = 2 * c if mrows is None else mrows
+    # Measured on v5e (NOTES_PERF round 2): per-program overhead argues for
+    # large G, but VPU/selector work and register pressure grow with G·W, so
+    # the sweet spot scales inversely with the map: G ≈ 512 / H (128²→4,
+    # 64²→8, 32²→16), small maps capped at 4.
+    best = max(1, min(16, 512 // max(h, 1))) if h > 16 else 4
+    for g in (16, 8, 4, 2, 1):
+        if g > best or h % g != 0 or g > h:
+            continue
+        gs = g * 9 * w
+        # Kernel-live bytes: column iota [W, GS] i32 + one-hot [W, GS] +
+        # f32 matmul output [C, GS] + acc [C, GS] (compute dtype) +
+        # double-buffered feature map. (Tracks the Mosaic scoped-vmem report
+        # within ~1%; the hard limit is 16M.)
+        live = (
+            w * gs * (4 + itemsize)
+            + c * gs * (4 + itemsize)
+            + 2 * h * mrows * w * itemsize
+        )
+        if live <= 15 * 1024 * 1024:
             return g
     return 1
 
@@ -66,7 +88,9 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
                 h: int, w: int, c: int, co: int, radius: int, g: int,
                 exact: bool):
     rb = pl.program_id(1)
-    rw = g + 2 * radius + 2
+    # Window clamped to the image: when G + 2R + 2 >= H every program sees the
+    # whole height (r0 = 0) and the windowed op degenerates to the EXACT op.
+    rw = min(g + 2 * radius + 2, h)
     r0 = jnp.clip(rb * g - 1 - radius, 0, h - rw)
     gs = g * 9 * w
 
@@ -89,7 +113,7 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
 
     # Column selectors over [0, W) — K is exactly W (a padded K of W+1 would
     # double the MXU K-blocks). Clamp before the cast so huge offsets can't
-    # overflow int32.
+    # overflow int32. (i8 iota/compares are not supported by this Mosaic.)
     x1c = jnp.clip(x1, -1.0, float(w + 1))
     x1i = jnp.where((x1 >= 0.0) & (x1 < w), x1c, -1.0).astype(jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0)
@@ -116,15 +140,20 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
             + (rows == x1i).astype(jnp.float32) * fx
         ).astype(x_ref.dtype)                           # [W, GS]
 
+    # Post-matmul blend dtype: bf16 inputs stay bf16 end to end (halves the
+    # [C, GS] st/acc VMEM, unblocking larger G; y/x blend weights quantize to
+    # <= 2^-8 relative — the same order as the weighted-selector fx path).
+    acc_dt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
+
     def body(rho, acc):
         xrow = x_ref[0, r0 + rho]                       # [2C, W] or [C, W]
         st = jax.lax.dot_general(
             xrow, oht, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # [2C or C, GS]
+            preferred_element_type=jnp.float32,         # Mosaic: acc is 32-bit
+        ).astype(acc_dt)                                # [2C or C, GS]
         if exact:
-            bx = st[:c] * (1.0 - fx) + st[c:] * fx      # [C, GS]
-            bx = bx + xrow[c:, w - 1:w].astype(jnp.float32) * edge
+            bx = st[:c] * (1.0 - fx).astype(acc_dt) + st[c:] * fx.astype(acc_dt)
+            bx = bx + xrow[c:, w - 1:w].astype(acc_dt) * edge.astype(acc_dt)
         else:
             bx = st
         rho_f = rho.astype(jnp.float32)
@@ -132,7 +161,7 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
             (ly == rho_f).astype(jnp.float32) * (1.0 - fy)
             + (ly == rho_f - 1.0).astype(jnp.float32) * fy
         )
-        return acc + a * bx
+        return acc + a.astype(acc_dt) * bx
 
     # Data-adaptive bounds: only window rows in [min(ly), max(ly)+1] carry any
     # bilinear weight — at zero/small offsets (trained DCNs concentrate near
@@ -140,18 +169,19 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
     lo = jnp.min(jnp.clip(ly, 0.0, float(rw))).astype(jnp.int32)
     hi = jnp.max(jnp.clip(ly + 2.0, 0.0, float(rw))).astype(jnp.int32)
     hi = jnp.maximum(hi, lo)
-    acc = jax.lax.fori_loop(lo, hi, body, jnp.zeros((c, gs), jnp.float32))
-    acc = (acc * m).astype(w_ref.dtype)                 # [C, GS]
+    acc = jax.lax.fori_loop(lo, hi, body, jnp.zeros((c, gs), acc_dt))
+    acc = (acc * m.astype(acc_dt)).astype(w_ref.dtype)  # [C, GS]
 
-    for gi in range(g):
-        out = jnp.zeros((co, w), jnp.float32)
-        for t in range(9):
-            lo = (gi * 9 + t) * w
-            out = out + jax.lax.dot_general(
-                w_ref[t], acc[:, lo:lo + w], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # [Co, W]
-        out_ref[0, gi] = out.astype(out_ref.dtype)
+    # Tap-major lanes ⇒ the output conv is 9 matmuls of [Co, C] x [C, G·W]
+    # regardless of G (the old row-major layout needed 9·G small matmuls).
+    gw = g * w
+    out = jnp.zeros((co, gw), jnp.float32)
+    for t in range(9):
+        out = out + jax.lax.dot_general(
+            w_ref[t], acc[:, t * gw:(t + 1) * gw], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [Co, G·W]
+    out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
 def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
@@ -159,28 +189,34 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     b, h, w, c = x.shape
     kh, kw, _, co = weight.shape
     assert (kh, kw) == (3, 3), "one-hot kernel supports 3x3 s1 p1 d1 only"
-    g = _pick_block_rows(h, w, c, radius)
-    rw = g + 2 * radius + 2
-    assert h >= rw, f"H={h} smaller than window {rw}; use the exact gather"
+    g = _pick_block_rows(h, w, c, radius, itemsize=x.dtype.itemsize,
+                         mrows=(2 * c if exact else c))
+    assert w <= 128, f"W={w} exceeds the int8 column-selector range"
     s = 9 * w
     gs = g * s
 
-    # Tap-major [1, S] per-sample scalars, then G rows folded into lanes
-    # (all transposes/reshapes happen here in XLA).
+    # Per-sample scalars folded into lanes TAP-MAJOR: lane = t·GW + g·W + w
+    # (so the output conv slices one [C, G·W] block per tap — 9 matmuls per
+    # program independent of G). All transposes/reshapes happen here in XLA.
+    def fold(v):  # [b, h, w, 9] -> [b, h//g, 1, gs], lane = (t, g, w)
+        v = jnp.transpose(v, (0, 1, 3, 2)).reshape(b, h // g, g, 9, w)
+        return jnp.transpose(v, (0, 1, 3, 2, 4)).reshape(b, h // g, 1, gs)
+
     off = offset.reshape(b, h, w, 9, 2)
-    dy = jnp.transpose(off[..., 0], (0, 1, 3, 2)).reshape(b, h // g, 1, gs)
-    dx = jnp.transpose(off[..., 1], (0, 1, 3, 2)).reshape(b, h // g, 1, gs)
-    m = jnp.transpose(mask, (0, 1, 3, 2)).reshape(b, h // g, 1, gs)
+    dy = fold(off[..., 0])
+    dx = fold(off[..., 1])
+    m = fold(mask)
     wt = weight.reshape(9, c, co).astype(x.dtype)
 
     # Constant lane-decode vectors (avoids div/mod by non-power-of-2 in-kernel).
     lanes = np.arange(gs)
+    taps = lanes // (g * w)
     idx = jnp.asarray(
         np.stack([
-            lanes // s,            # row within the block
-            (lanes % s) // w // 3,  # tap row i
-            (lanes % s) // w % 3,   # tap col j
-            lanes % w,             # output column
+            (lanes % (g * w)) // w,  # row within the block
+            taps // 3,               # tap row i
+            taps % 3,                # tap col j
+            lanes % w,               # output column
         ]).astype(np.float32)
     )                                                        # [4, GS]
 
@@ -218,11 +254,13 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
             pl.BlockSpec((9, c, co), lambda bi, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, g, co, w), lambda bi, r: (bi, r, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, co, g * w), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, co, w), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h // g, co, g * w), x.dtype),
     )(dy, dx, m, idx, xk, wt)
-    out = jnp.transpose(out_t, (0, 1, 3, 2))
+    out = jnp.transpose(
+        out_t.reshape(b, h // g, co, g, w), (0, 1, 3, 4, 2)
+    ).reshape(b, h, w, co)
     return out + bias.astype(x.dtype)
 
 

@@ -80,16 +80,21 @@ class TestOneHotParity:
         )
 
     def test_out_of_window_taps_drop_to_zero(self):
-        # One tap's dy exceeds the whole block window (dy > R + G + 1 for the
-        # G=2 row blocking): that tap contributes 0; a reference built by
-        # zeroing its mask must match. (For R < |dy| <= R+G+1 the tap may
-        # still sample — the block window is shared by G rows — which is MORE
-        # coverage than the per-row contract, never less.)
+        # One tap's dy exceeds the whole block window for EVERY row — beyond
+        # 2R + G + 2, accounting for the image-edge clamp of the window origin
+        # (r0 clips to 0 at the top, extending block 0's coverage downward):
+        # that tap contributes 0; a reference built by zeroing its mask must
+        # match. (For R < dy <= 2R+G+2 the tap may still sample — the block
+        # window is shared by G rows — which is MORE coverage than the
+        # per-row contract, never less.)
         rng = np.random.RandomState(2)
-        b, h, w, c, co, r = 1, 16, 16, 4, 4, 2
+        b, h, w, c, co, r = 1, 20, 16, 4, 4, 2
+        g = oh._pick_block_rows(h, w, c, r, itemsize=4, mrows=2 * c)
+        far_dy = float(2 * r + g + 3)
+        assert h - 1 + far_dy >= h  # also lands outside the image from row 0
         x, _, mask, wt, bias = _rand_case(rng, b, h, w, c, co, 0.0)
         off = np.zeros((b, h, w, 18), np.float32)
-        off[:, :, :, 8] = 8.0         # tap 4 (dy channel 2*4) far out
+        off[:, :, :, 8] = far_dy      # tap 4 (dy channel 2*4) far out
         m_dropped = np.asarray(mask).copy()
         m_dropped[:, :, :, 4] = 0.0
         out_k = oh.dcn_v2_onehot(x, jnp.asarray(off), mask, wt, bias, r)

