@@ -111,16 +111,14 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
     ly = y0 - r0.astype(jnp.float32)     # window row of the upper corner
     x1 = x0 + 1.0                        # right-corner column in [0, W]
 
-    # Column selectors over [0, W) — K is exactly W (a padded K of W+1 would
-    # double the MXU K-blocks). Clamp before the cast so huge offsets can't
-    # overflow int32. (i8 iota/compares are not supported by this Mosaic.)
-    x1c = jnp.clip(x1, -1.0, float(w + 1))
-    x1i = jnp.where((x1 >= 0.0) & (x1 < w), x1c, -1.0).astype(jnp.int32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0)
-
     if exact:
         # 0/1 one-hot on the RIGHT corner only; both corners come from the
         # [x>>1 | x] channel-concat (M = 2C) and fx blends in f32 on the VPU.
+        # Clamp before the cast so huge offsets can't overflow int32.
+        # (i8 iota/compares are not supported by this Mosaic.)
+        x1c = jnp.clip(x1, -1.0, float(w + 1))
+        x1i = jnp.where((x1 >= 0.0) & (x1 < w), x1c, -1.0).astype(jnp.int32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0)
         oht = (rows == x1i).astype(x_ref.dtype)         # [W, GS]
         # Right-edge case: x1 == W has no one-hot column, but the LEFT corner
         # x0 == W-1 is in-bounds with weight (1-fx). Its value is the last
@@ -128,17 +126,19 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
         # is a cheap outer-product broadcast.
         edge = (x1 == w).astype(jnp.float32) * (1.0 - fx)   # [1, GS]
     else:
-        # Bilinear x-weights INSIDE the (bf16) selector: two weighted nonzeros
-        # per sample column. Halves the matmul M (C, no concat) at the cost of
-        # quantizing fx to the compute dtype (<= 2^-9 relative weight error —
-        # below bf16 activation noise). Both image-edge cases fall out: x0=-1
-        # and x1=W simply have no matching column.
-        x0c = jnp.clip(x0, -1.0, float(w))
-        x0i = jnp.where((x0 >= 0.0) & (x0 < w), x0c, -1.0).astype(jnp.int32)
-        oht = (
-            (rows == x0i).astype(jnp.float32) * (1.0 - fx)
-            + (rows == x1i).astype(jnp.float32) * fx
-        ).astype(x_ref.dtype)                           # [W, GS]
+        # Bilinear x-weights INSIDE the (bf16) selector: the weight column x'
+        # receives is EXACTLY the hat function max(0, 1 - |x' - px|) — for
+        # in-range px it places (1-fx, fx) on (x0, x1), and at the image edge
+        # the out-of-range corner is zero-padded so the hat's value on the
+        # surviving column is already that corner's full bilinear weight.
+        # 3 VPU ops over [W, GS], no compares/int casts. fx quantizes to the
+        # compute dtype (<= 2^-9 relative — below bf16 activation noise).
+        # (Mosaic iota is integer-only; convert.)
+        rows_f = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0).astype(
+            jnp.float32
+        )
+        pxc = jnp.clip(px, -2.0, float(w + 1))          # keep |diff| finite
+        oht = jnp.maximum(1.0 - jnp.abs(rows_f - pxc), 0.0).astype(x_ref.dtype)
 
     # Post-matmul blend dtype: bf16 inputs stay bf16 end to end (halves the
     # [C, GS] st/acc VMEM, unblocking larger G; y/x blend weights quantize to
@@ -167,7 +167,10 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
     # bilinear weight — at zero/small offsets (trained DCNs concentrate near
     # 0; at init offsets are exactly 0) this shrinks G+2R+2 iterations to ~G+2.
     lo = jnp.min(jnp.clip(ly, 0.0, float(rw))).astype(jnp.int32)
-    hi = jnp.max(jnp.clip(ly + 2.0, 0.0, float(rw))).astype(jnp.int32)
+    # Integer offsets (fy == 0 — exactly the at-init case) put zero weight on
+    # the lower corner row: the bound is ly+1, not ly+2.
+    up = jnp.where(fy > 0.0, 2.0, 1.0)
+    hi = jnp.max(jnp.clip(ly + up, 0.0, float(rw))).astype(jnp.int32)
     hi = jnp.maximum(hi, lo)
     acc = jax.lax.fori_loop(lo, hi, body, jnp.zeros((c, gs), acc_dt))
     acc = (acc * m.astype(acc_dt)).astype(w_ref.dtype)  # [C, GS]

@@ -105,6 +105,15 @@ def _frames(args):
     order; otherwise each image is independent."""
     from PIL import Image
 
+    if args.demo == "webcam" or args.demo.startswith("/dev/video"):
+        # Live capture (reference demo.py:31-57, cv2.VideoCapture(0)).
+        from centerpose_tpu.data.webcam import V4L2Camera
+
+        device = "/dev/video0" if args.demo == "webcam" else args.demo
+        with V4L2Camera(device) as cam:
+            for i, frame in enumerate(cam):
+                yield f"cam_{i:05d}", frame
+        return
     is_video = args.demo.lower().endswith((".mp4", ".mov", ".webm", ".avi"))
     if is_video or (args.tracking and os.path.isdir(args.demo)):
         from centerpose_tpu.data.video import open_video

@@ -138,3 +138,32 @@ class TestOneHotParity:
         m2 = DeformConvBlock(8, dcn_impl="gather")
         y2 = m2.apply(variables, x)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=2e-5)
+
+
+class TestWeightedSelector:
+    """exact=False (hat-function bilinear selector) — the production bf16 path.
+    With f32 inputs the selector carries full-precision weights, so it must
+    match the exact gather to float tolerance, including every image edge."""
+
+    def test_matches_exact_gather(self):
+        rng = np.random.RandomState(5)
+        args = _rand_case(rng, 2, 16, 16, 4, 4, 1.5)
+        out_k = oh.dcn_v2_onehot(*args, 2, False)
+        out_ref = dcn_v2(*args[:5])
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
+        )
+
+    def test_boundary_hat_weights(self):
+        # Samples pushed across the left/right edges: the hat on the surviving
+        # column equals that corner's bilinear weight (other corner zero-pad).
+        rng = np.random.RandomState(6)
+        x, _, mask, wt, bias = _rand_case(rng, 1, 12, 12, 4, 4, 0.0)
+        off = np.zeros((1, 12, 12, 18), np.float32)
+        off[:, :, :, 1::2] = 3.7   # dx pushes right corners past the edge
+        off[:, :, :, 0::2] = 0.25  # fractional dy inside the window
+        out_k = oh.dcn_v2_onehot(x, jnp.asarray(off), mask, wt, bias, 2, False)
+        out_ref = dcn_v2(x, jnp.asarray(off), mask, wt, bias)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
+        )

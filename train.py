@@ -149,6 +149,8 @@ def main():
                 outputs = debug_fwd(variables, batch)
                 imgs = render_train_debug(batch, outputs, cfg)
                 save_train_debug(imgs, os.path.join(exp_dir, "debug"), f"e{epoch}_")
+                for name_, img_ in imgs.items():
+                    logger.image(epoch, f"debug/{name_}", img_)
                 logger.write(f"debug canvases saved: {sorted(imgs)}")
             batch = shard_batch(mesh, batch)
             state, stats = step_fn(state, batch)
