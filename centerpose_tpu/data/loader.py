@@ -21,7 +21,6 @@ core; `mode="process"` uses spawn-based worker processes for multi-core hosts.
 from __future__ import annotations
 
 import copy
-import queue
 import threading
 from typing import Callable, Iterator, Optional, Sequence
 
@@ -114,9 +113,6 @@ class DataLoader:
             yield from self._iter_threads(batches)
 
     def _iter_threads(self, batches) -> Iterator[dict]:
-        task_q: "queue.Queue" = queue.Queue()
-        for bi, idxs in enumerate(batches):
-            task_q.put((bi, idxs))
         done: dict = {}
         cond = threading.Condition()
         # Bounded prefetch: workers stall while `prefetch` finished batches
@@ -125,13 +121,15 @@ class DataLoader:
         stop = threading.Event()
 
         def worker(wid: int):
+            # Deterministic round-robin batch assignment (torch's convention):
+            # worker w handles batches w, w+W, w+2W, ... so each worker's rng
+            # stream is consumed in a schedule-independent order and epochs
+            # replay bit-exactly regardless of thread timing.
             ds = self._worker_dataset(wid)
-            while not stop.is_set():
-                try:
-                    bi, idxs = task_q.get_nowait()
-                except queue.Empty:
+            for bi in range(wid, len(batches), self.num_workers):
+                if stop.is_set():
                     return
-                out = self._load_batch(ds, idxs)
+                out = self._load_batch(ds, batches[bi])
                 with cond:
                     while (
                         bi - state["next_out"] >= self.prefetch
@@ -168,18 +166,16 @@ class DataLoader:
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")
-        task_q = ctx.Queue()
         out_q = ctx.Queue(maxsize=self.prefetch)
-        for bi, idxs in enumerate(batches):
-            task_q.put((bi, np.asarray(idxs)))
-        for _ in range(self.num_workers):
-            task_q.put(None)
-
+        # Same deterministic round-robin assignment as the thread path: worker
+        # w owns batches w::W, so its rng stream replays identically per epoch.
         procs = [
             ctx.Process(
                 target=_process_worker,
-                args=(self.dataset, self.collate_fn, task_q, out_q,
-                      self.seed + 1000 * (self._epoch + 1) + w),
+                args=(self.dataset, self.collate_fn,
+                      [(bi, np.asarray(batches[bi]))
+                       for bi in range(w, len(batches), self.num_workers)],
+                      out_q, self.seed + 1000 * (self._epoch + 1) + w),
                 daemon=True,
             )
             for w in range(self.num_workers)
@@ -206,14 +202,10 @@ class DataLoader:
                 p.join(timeout=5)
 
 
-def _process_worker(dataset, collate_fn, task_q, out_q, seed):
+def _process_worker(dataset, collate_fn, tasks, out_q, seed):
     if hasattr(dataset, "rng"):
         dataset.rng = np.random.RandomState(seed)
-    while True:
-        task = task_q.get()
-        if task is None:
-            return
-        bi, idxs = task
+    for bi, idxs in tasks:
         samples = []
         for i in idxs:
             item = dataset[int(i)]

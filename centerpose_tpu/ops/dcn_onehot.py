@@ -52,7 +52,8 @@ from centerpose_tpu.ops.dcn import dcn_v2
 
 
 def _pick_block_rows(h: int, w: int, c: int, radius: int,
-                     itemsize: int = 2, mrows: int = None) -> int:
+                     itemsize: int = 2, mrows: int = None,
+                     co: int = 0) -> int:
     """Row-blocking G: per-program fixed overhead (~5 µs: grid dispatch, loop
     machinery, cross-lane reductions) dominates the sampling MACs by 10x at
     G=2 (measured round 2: 75 MMAC ≈ 0.4 µs vs ~5 µs overhead), so larger
@@ -79,6 +80,12 @@ def _pick_block_rows(h: int, w: int, c: int, radius: int,
             + c * gs * (4 + itemsize)
             + 2 * h * mrows * w * itemsize
         )
+        if itemsize >= 4:
+            # f32 runs OOM'd the scoped-vmem stack with the bf16-calibrated
+            # model (measured: h=32 c=256 g=16 → 17.38M vs the 16M limit).
+            # Count the un-reused f32 blend temp, the weights, and the
+            # double-buffered output block as well.
+            live += c * gs * 4 + 9 * c * max(co, c) * itemsize + 2 * co * gs // 9 * 4
         if live <= 15 * 1024 * 1024:
             return g
     return 1
@@ -193,7 +200,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     kh, kw, _, co = weight.shape
     assert (kh, kw) == (3, 3), "one-hot kernel supports 3x3 s1 p1 d1 only"
     g = _pick_block_rows(h, w, c, radius, itemsize=x.dtype.itemsize,
-                         mrows=(2 * c if exact else c))
+                         mrows=(2 * c if exact else c), co=co)
     assert w <= 128, f"W={w} exceeds the int8 column-selector range"
     s = 9 * w
     gs = g * s
