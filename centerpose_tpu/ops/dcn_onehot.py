@@ -194,14 +194,190 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
+def _pick_grouped_block_rows(h: int, w: int, c: int, co: int, nr: int,
+                             mp: int, itemsize: int) -> int:
+    """Row-blocking G for `_grouped_kernel` (v5e sweep, zero offsets, bf16):
+    the M/K packings remove the per-row VPU blends, so the optimum shifts to
+    SMALLER blocks than the row-sweep kernel's G≈512/H — adaptive iterations
+    scale as (G+2)/(nr or mp) and per-program overhead is low. Measured:
+    128²→2 (6.2 ms vs 7.5 at G=4), 64²→4 (2.4 vs 2.9 at 8), 32²→8 (1.5 vs
+    1.6 at 16), 16²→16 (1.4, whole image). That is G≈2 for the M-paired path
+    and G≈256/H for the K-folded path, shrunk if the kernel-live VMEM estimate
+    overflows the 16M scoped budget."""
+    if mp == 2:
+        best = 2
+    else:
+        best = max(1, min(h, 256 // max(h, 1)))
+    g = best
+    while g > 1 and h % g:
+        g -= 1
+    acc_it = itemsize if itemsize == 2 else 4
+    while g > 1:
+        gs = g * 9 * w
+        live = (
+            w * gs * 8                            # iota f32 + x-hat f32
+            + (128 * gs * itemsize if nr > 1 else 0)   # folded selector
+            + mp * c * gs * 4                     # dot output (f32)
+            + c * gs * acc_it                     # accumulator
+            + 2 * h * c * w * itemsize            # resident feature map
+            + 9 * c * co * itemsize
+            + 2 * co * gs // 9 * 4
+        )
+        if live <= 15 * 1024 * 1024:
+            break
+        g //= 2
+        while g > 1 and h % g:
+            g -= 1
+    return g
+
+
+def _grouped_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
+                    h: int, w: int, c: int, co: int, g: int, nr: int, mp: int):
+    """MXU-packed variant of `_row_kernel` (exact bilinear for ANY |dy|).
+
+    Two packings fix the MXU under-utilization of the row-sweep kernel:
+
+    * nr > 1 (small maps, W < 128): nr = 128/W window rows fold into the
+      matmul K dimension; the y-hat weight rides INSIDE the selector
+      (sel[(r,x'), s] = hatY(r)·hatX(x')), so K is a full 128 lanes (the
+      row-sweep pads K=W up to a 128 block, idling (128-W)/128 of it) and the
+      per-row [C, GS] VPU blend disappears. Iterations drop from ~rows to
+      ~rows/nr.
+    * mp == 2 (C <= 64 maps): two adjacent window rows stack into M = 2C via a
+      channel concat sharing one x-selector; the blend picks st[:C]/st[C:]
+      apart. Halves matmul instructions when C half-fills the 128-row MXU.
+
+    Loop bounds are data-adaptive over the FULL height, so (unlike the
+    windowed row sweep) every |dy| samples exactly — the `radius` cap applies
+    only to the `_row_kernel` path.
+    """
+    rb = pl.program_id(1)
+    gs = g * 9 * w
+
+    dy = dy_ref[0, 0]
+    dx = dx_ref[0, 0]
+    m = mask_ref[0, 0]
+    row_in_blk = idx_ref[0:1, :]
+    t_row = idx_ref[1:2, :]
+    t_col = idx_ref[2:3, :]
+    w_pos = idx_ref[3:4, :]
+
+    py = (rb * g - 1).astype(jnp.float32) + row_in_blk + t_row + dy
+    px = (w_pos - 1.0) + t_col + dx
+
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0).astype(jnp.float32)
+    pxc = jnp.clip(px, -2.0, float(w + 1))
+    xhat = jnp.maximum(1.0 - jnp.abs(rows_f - pxc), 0.0)       # f32 [W, GS]
+
+    # Clip BEFORE floor/casts so huge offsets can't overflow; clipped values
+    # land outside every row's unit hat support, i.e. contribute zero.
+    pyc = jnp.clip(py, -2.0, float(h + 1))
+    y0 = jnp.floor(pyc)
+    fy = pyc - y0
+    lo = jnp.clip(jnp.min(y0), 0.0, float(h))
+    hi = jnp.clip(
+        jnp.max(y0 + jnp.where(fy > 0.0, 2.0, 1.0)), 0.0, float(h)
+    )
+
+    acc_dt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    if nr > 1:
+        glo = lo.astype(jnp.int32) // nr
+        ghi = (hi.astype(jnp.int32) + nr - 1) // nr
+        ghi = jnp.maximum(ghi, glo)
+
+        def body(grp, acc):
+            base = (grp * nr).astype(jnp.float32)
+            sel = jnp.concatenate(
+                [
+                    (xhat
+                     * jnp.maximum(1.0 - jnp.abs(pyc - (base + r)), 0.0)
+                     ).astype(x_ref.dtype)
+                    for r in range(nr)
+                ],
+                axis=0,
+            )                                                  # [nr·W, GS]
+            st = jax.lax.dot_general(
+                x_ref[0, grp], sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + st.astype(acc_dt)
+
+        acc = jax.lax.fori_loop(glo, ghi, body, jnp.zeros((c, gs), acc_dt))
+    else:
+        # Rows are PRE-PAIRED in XLA ([B, H/2, 2C, W]); the kernel slices one
+        # [2C, W] pair per iteration — no in-kernel concat (measured: a
+        # per-iteration two-row concat costs more than the halved matmuls
+        # saved).
+        xhat_d = xhat.astype(x_ref.dtype)
+        plo = lo.astype(jnp.int32) // 2
+        phi = (hi.astype(jnp.int32) + 1) // 2
+        phi = jnp.maximum(phi, plo)
+
+        def body(p, acc):
+            st = jax.lax.dot_general(
+                x_ref[0, p], xhat_d, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(acc_dt)                                   # [2C, GS]
+            rf = (p * 2).astype(jnp.float32)
+            a0 = jnp.maximum(1.0 - jnp.abs(pyc - rf), 0.0)
+            a1 = jnp.maximum(1.0 - jnp.abs(pyc - (rf + 1.0)), 0.0)
+            return acc + a0.astype(acc_dt) * st[:c] + a1.astype(acc_dt) * st[c:]
+
+        acc = jax.lax.fori_loop(plo, phi, body, jnp.zeros((c, gs), acc_dt))
+
+    acc = (acc * m.astype(acc_dt)).astype(w_ref.dtype)
+    gw = g * w
+    out = jnp.zeros((co, gw), jnp.float32)
+    if mp == 2:
+        # Tap-PAIR packed output conv: weights arrive as [5, 2C, Co] (taps
+        # 2t/2t+1 stacked; tap 8's high half is zero), so each dot has a full
+        # K = 2C = 128 instead of 9 half-idle K=C dots. Tap 8's rhs block is
+        # duplicated — its zero weight half ignores it.
+        for t in range(5):
+            lo_blk = acc[:, (2 * t) * gw:(2 * t + 1) * gw]
+            hi_blk = (
+                acc[:, (2 * t + 1) * gw:(2 * t + 2) * gw] if t < 4 else lo_blk
+            )
+            out = out + jax.lax.dot_general(
+                w_ref[t], jnp.concatenate([lo_blk, hi_blk], axis=0),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        for t in range(9):
+            out = out + jax.lax.dot_general(
+                w_ref[t], acc[:, t * gw:(t + 1) * gw], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
 def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
-                         exact: bool = True):
+                         exact: bool = True, block_rows: int = 0):
     b, h, w, c = x.shape
     kh, kw, _, co = weight.shape
     assert (kh, kw) == (3, 3), "one-hot kernel supports 3x3 s1 p1 d1 only"
-    g = _pick_block_rows(h, w, c, radius, itemsize=x.dtype.itemsize,
-                         mrows=(2 * c if exact else c), co=co)
+    # MXU packing for the weighted-selector path: fold 128/W rows into K on
+    # small maps; pair rows into M=2C when C half-fills the MXU (see
+    # `_grouped_kernel`). The row-sweep `_row_kernel` remains for exact=True
+    # and shapes neither packing helps.
+    nr = max(1, 128 // w) if not exact else 1
+    if h % nr != 0:
+        nr = 1
+    mp = 2 if (not exact and nr == 1 and c <= 64 and h % 2 == 0) else 1
+    grouped = nr > 1 or mp == 2
+    if block_rows:
+        g = block_rows
+    elif grouped:
+        g = _pick_grouped_block_rows(h, w, c, co, nr, mp, x.dtype.itemsize)
+    else:
+        g = _pick_block_rows(
+            h, w, c, radius, itemsize=x.dtype.itemsize,
+            mrows=(2 * c if exact else c), co=co,
+        )
     assert w <= 128, f"W={w} exceeds the int8 column-selector range"
+    assert h % g == 0, f"block_rows={g} must divide H={h}"
     s = 9 * w
     gs = g * s
 
@@ -217,6 +393,15 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     dx = fold(off[..., 1])
     m = fold(mask)
     wt = weight.reshape(9, c, co).astype(x.dtype)
+    if mp == 2:
+        # Tap pairs stacked along K for the packed output conv ([5, 2C, Co];
+        # tap 8's high half zero — see `_grouped_kernel`).
+        wt = (
+            jnp.zeros((5, 2 * c, co), wt.dtype)
+            .at[:4, :c].set(wt[0:8:2])
+            .at[:4, c:].set(wt[1:8:2])
+            .at[4, :c].set(wt[8])
+        )
 
     # Constant lane-decode vectors (avoids div/mod by non-power-of-2 in-kernel).
     lanes = np.arange(gs)
@@ -239,14 +424,36 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         xk = jnp.transpose(
             jnp.concatenate([x_sh, x], axis=-1), (0, 1, 3, 2)
         )                                                    # [B, H, 2C, W]
-        mrows = 2 * c
+        xspec = pl.BlockSpec((1, h, 2 * c, w), lambda bi, r: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    elif nr > 1:
+        # Row groups pre-packed along lanes: k = r_in_group·W + w.
+        xk = jnp.transpose(
+            x.reshape(b, h // nr, nr, w, c), (0, 1, 4, 2, 3)
+        ).reshape(b, h // nr, c, nr * w)                     # [B, H/nr, C, nrW]
+        xspec = pl.BlockSpec((1, h // nr, c, nr * w),
+                             lambda bi, r: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    elif mp == 2:
+        # Row PAIRS pre-stacked along channels: sublane i·C + c of pair p is
+        # row 2p+i (H is even — the mp gate requires it).
+        xk = jnp.transpose(
+            x.reshape(b, h // 2, 2, w, c), (0, 1, 2, 4, 3)
+        ).reshape(b, h // 2, 2 * c, w)                       # [B, H/2, 2C, W]
+        xspec = pl.BlockSpec((1, h // 2, 2 * c, w), lambda bi, r: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
     else:
-        # Weighted-selector variant: both corners come from one [C, W] block.
+        # Plain [C, W] per row for the un-packed row-sweep.
         xk = jnp.transpose(x, (0, 1, 3, 2))                  # [B, H, C, W]
-        mrows = c
+        xspec = pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
 
-    kernel = partial(_row_kernel, h=h, w=w, c=c, co=co, radius=radius, g=g,
-                     exact=exact)
+    if grouped:
+        kernel = partial(_grouped_kernel, h=h, w=w, c=c, co=co, g=g, nr=nr,
+                         mp=mp)
+    else:
+        kernel = partial(_row_kernel, h=h, w=w, c=c, co=co, radius=radius, g=g,
+                         exact=exact)
     out_t = pl.pallas_call(
         kernel,
         grid=(b, h // g),
@@ -259,9 +466,8 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, gs), lambda bi, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, mrows, w), lambda bi, r: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, c, co), lambda bi, r: (0, 0, 0),
+            xspec,
+            pl.BlockSpec(tuple(wt.shape), lambda bi, r: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, co, g * w), lambda bi, r: (bi, r, 0, 0),
@@ -274,26 +480,31 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     return out + bias.astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def dcn_v2_onehot(x, offset, mask, weight, bias, radius: int = 4,
-                  exact: bool = True):
-    """Windowed one-hot MXU DCNv2 forward (see module docstring).
+                  exact: bool = True, block_rows: int = 0):
+    """One-hot MXU DCNv2 forward (see module docstring).
 
-    Args match ops/dcn.py dcn_v2 (3x3 s1 p1 d1 implied). `radius` bounds the
-    vertical offset magnitude that samples exactly; larger |dy| contribute 0.
-    `exact=False` halves the MXU work by carrying the bilinear x-weights inside
-    the compute-dtype selector (<= 2^-9 relative weight quantization in bf16).
+    Args match ops/dcn.py dcn_v2 (3x3 s1 p1 d1 implied). `exact=False` halves
+    the MXU work by carrying the bilinear x-weights inside the compute-dtype
+    selector (<= 2^-9 relative weight quantization in bf16) and routes to the
+    MXU-packed `_grouped_kernel` where its packings apply — that path samples
+    every |dy| exactly. `radius` bounds the vertical offset magnitude only on
+    the `_row_kernel` path (exact=True, or shapes no packing helps): larger
+    |dy| contribute 0 there. `block_rows` overrides the auto row-blocking G
+    (must divide H; 0 = auto).
     """
-    return _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius, exact)
+    return _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius, exact,
+                                block_rows)
 
 
-def _fwd(x, offset, mask, weight, bias, radius, exact):
-    return _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius, exact), (
-        x, offset, mask, weight, bias,
-    )
+def _fwd(x, offset, mask, weight, bias, radius, exact, block_rows):
+    return _dcn_onehot_fwd_impl(
+        x, offset, mask, weight, bias, radius, exact, block_rows
+    ), (x, offset, mask, weight, bias)
 
 
-def _bwd(radius, exact, res, g):
+def _bwd(radius, exact, block_rows, res, g):
     # Training gradient via the exact-gather op's autodiff (the window is an
     # inference-speed measure; |dy|<=R training offsets make them identical).
     x, offset, mask, weight, bias = res

@@ -167,3 +167,54 @@ class TestWeightedSelector:
         np.testing.assert_allclose(
             np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
         )
+
+
+class TestGroupedKernel:
+    """MXU-packed paths of exact=False: nr row-groups folded into K (W < 128)
+    and M-paired rows (C <= 64, W > 64). Both sample EVERY |dy| exactly —
+    no window clipping — so they must match the exact gather for any offset."""
+
+    def test_nr_path_large_dy_matches_exact(self):
+        # W=16 -> nr=8. |dy| far beyond any radius still samples exactly.
+        rng = np.random.RandomState(7)
+        x, _, mask, wt, bias = _rand_case(rng, 2, 32, 16, 8, 8, 0.0)
+        off = (rng.rand(2, 32, 16, 18).astype(np.float32) * 2 - 1) * 11.0
+        out_k = oh.dcn_v2_onehot(x, jnp.asarray(off), mask, wt, bias, 2, False)
+        out_ref = dcn_v2(x, jnp.asarray(off), mask, wt, bias)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
+        )
+
+    def test_mp_path_matches_exact(self):
+        # W=72 (> 64 -> nr=1), C=8 (<= 64) -> M-paired rows.
+        rng = np.random.RandomState(8)
+        x, off, mask, wt, bias = _rand_case(rng, 1, 10, 72, 8, 8, 2.3)
+        out_k = oh.dcn_v2_onehot(x, off, mask, wt, bias, 4, False)
+        out_ref = dcn_v2(x, off, mask, wt, bias)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
+        )
+
+    def test_mp_path_boundary_rows(self):
+        # Samples crossing top/bottom edges through the paired-row loop.
+        rng = np.random.RandomState(9)
+        x, _, mask, wt, bias = _rand_case(rng, 1, 8, 72, 4, 4, 0.0)
+        off = np.zeros((1, 8, 72, 18), np.float32)
+        off[:, :2, :, 0::2] = -3.3
+        off[:, -2:, :, 0::2] = 3.3
+        off[:, :, :, 1::2] = 0.45
+        out_k = oh.dcn_v2_onehot(x, jnp.asarray(off), mask, wt, bias, 4, False)
+        out_ref = dcn_v2(x, jnp.asarray(off), mask, wt, bias)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
+        )
+
+    def test_block_rows_override(self):
+        rng = np.random.RandomState(10)
+        args = _rand_case(rng, 1, 16, 16, 4, 4, 1.2)
+        base = oh.dcn_v2_onehot(*args, 2, False)
+        for g in (2, 8, 16):
+            out = oh.dcn_v2_onehot(*args, 2, False, g)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(base), atol=3e-5, rtol=1e-5
+            )
