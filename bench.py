@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 TARGET = 500.0  # images/sec/chip north star (BASELINE.md)
-CHAIN = 8       # jitted steps per dispatch
-DISPATCHES = 3
+CHAIN = 16      # jitted steps per dispatch (~29-47 ms tunnel RTT amortized)
+DISPATCHES = 2
 
 
 def main():

@@ -473,6 +473,10 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         out_specs=pl.BlockSpec((1, 1, co, g * w), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h // g, co, g * w), x.dtype),
+        # CPU has no Mosaic: run the kernel in interpret mode so the
+        # 'onehot' dcn_impl works on every backend (tests force CPU; the
+        # serving CLIs expose --dcn_impl).
+        interpret=(jax.default_backend() == "cpu"),
     )(dy, dx, m, idx, xk, wt)
     out = jnp.transpose(
         out_t.reshape(b, h // g, co, g, w), (0, 1, 3, 4, 2)

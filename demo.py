@@ -42,6 +42,17 @@ def parse_args():
              "(opts.py --fix_short)",
     )
     p.add_argument("--input_res", type=int, default=512)
+    p.add_argument(
+        "--dcn_impl", default="gather",
+        choices=("gather", "onehot", "onehot_exact", "windowed"),
+        help="DCN sampler: 'gather' (exact, runs everywhere) or 'onehot' "
+        "(Pallas MXU kernel — the fast TPU serving path, see NOTES_PERF.md)",
+    )
+    p.add_argument(
+        "--compute_dtype", default="float32",
+        choices=("float32", "bfloat16"),
+        help="net compute dtype (bfloat16 for TPU serving)",
+    )
     return p.parse_args()
 
 
@@ -62,6 +73,8 @@ def load_detector(args):
         fix_short=args.fix_short,
         input_h=args.input_res,
         input_w=args.input_res,
+        dcn_impl=args.dcn_impl,
+        compute_dtype=args.compute_dtype,
     )
     variables = None
     if args.load_model:

@@ -27,6 +27,13 @@ def parse_args():
     p.add_argument("--report_file", default="")
     p.add_argument("--input_res", type=int, default=512)
     p.add_argument(
+        "--dcn_impl", default="gather",
+        choices=("gather", "onehot", "onehot_exact", "windowed"),
+        help="DCN sampler ('onehot' = fast Pallas TPU path)",
+    )
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=("float32", "bfloat16"))
+    p.add_argument(
         "--all_checkpoints", action="store_true",
         help="loss mode: replay every epoch_*/best/ckpt dir under --load_model "
              "(src/test.py parity)",
@@ -117,6 +124,8 @@ def main():
         arch=args.arch if not args.tracking else "dla_34",
         input_h=args.input_res,
         input_w=args.input_res,
+        dcn_impl=args.dcn_impl,
+        compute_dtype=args.compute_dtype,
         **overrides,
     )
 
