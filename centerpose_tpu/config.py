@@ -124,9 +124,13 @@ class CenterPoseConfig:
     param_dtype: str = "float32"
     # DCN sampling implementation:
     #   'gather'   — exact XLA gather (default; training-safe autodiff)
-    #   'onehot'   — Pallas one-hot MXU sampler (ops/dcn_onehot.py): ~3.5x
-    #                faster, exact for |dy| <= dcn_window_radius (taps beyond
-    #                the vertical window contribute zero)
+    #   'onehot'   — Pallas one-hot MXU sampler (ops/dcn_onehot.py): the fast
+    #                TPU serving path (~9x at 512²/b32). On the production
+    #                shapes it routes to MXU-packed kernels that sample every
+    #                offset exactly; dcn_window_radius only applies to the
+    #                residual row-sweep path (odd heights with W in 65..128).
+    #   'onehot_exact' — row-sweep variant with 0/1 selectors (f32-exact
+    #                x-weights, |dy| <= dcn_window_radius window)
     #   'windowed' — shifted-FMA research kernel (ops/dcn_pallas.py)
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4

@@ -129,7 +129,10 @@ class DataLoader:
             for bi in range(wid, len(batches), self.num_workers):
                 if stop.is_set():
                     return
-                out = self._load_batch(ds, batches[bi])
+                try:
+                    out = self._load_batch(ds, batches[bi])
+                except Exception as e:  # propagate instead of hanging the consumer
+                    out = _WorkerError(e)
                 with cond:
                     while (
                         bi - state["next_out"] >= self.prefetch
@@ -138,6 +141,8 @@ class DataLoader:
                         cond.wait(timeout=0.5)
                     done[bi] = out
                     cond.notify_all()
+                if isinstance(out, _WorkerError):
+                    return
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)
@@ -153,6 +158,10 @@ class DataLoader:
                     out = done.pop(bi)
                     state["next_out"] = bi + 1
                     cond.notify_all()
+                if isinstance(out, _WorkerError):
+                    raise RuntimeError(
+                        f"DataLoader worker failed on batch {bi}"
+                    ) from out.exc
                 if out is not None:
                     yield out
         finally:
@@ -166,35 +175,48 @@ class DataLoader:
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")
-        out_q = ctx.Queue(maxsize=self.prefetch)
         # Same deterministic round-robin assignment as the thread path: worker
         # w owns batches w::W, so its rng stream replays identically per epoch.
+        # One bounded queue PER worker: the consumer always pops the owning
+        # worker's queue for the next in-order batch (FIFO within a worker), so
+        # a slow worker backpressures only itself — no unbounded reorder
+        # buffer when workers run at different speeds.
+        queues = [ctx.Queue(maxsize=self.prefetch)
+                  for _ in range(self.num_workers)]
         procs = [
             ctx.Process(
                 target=_process_worker,
                 args=(self.dataset, self.collate_fn,
                       [(bi, np.asarray(batches[bi]))
                        for bi in range(w, len(batches), self.num_workers)],
-                      out_q, self.seed + 1000 * (self._epoch + 1) + w),
+                      queues[w], self.seed + 1000 * (self._epoch + 1) + w),
                 daemon=True,
             )
             for w in range(self.num_workers)
         ]
         for p in procs:
             p.start()
-        pending: dict = {}
-        next_out = 0
-        finished = 0
+        import queue as _queue
+
         try:
-            while finished < len(batches):
-                bi, out = out_q.get()
-                pending[bi] = out
-                while next_out in pending:
-                    item = pending.pop(next_out)
-                    next_out += 1
-                    finished += 1
-                    if item is not None:
-                        yield item
+            for bi in range(len(batches)):
+                w = bi % self.num_workers
+                while True:
+                    try:
+                        tag, out = queues[w].get(timeout=5)
+                        break
+                    except _queue.Empty:
+                        if not procs[w].is_alive():
+                            raise RuntimeError(
+                                f"DataLoader worker {w} died (exitcode "
+                                f"{procs[w].exitcode}) before batch {bi}"
+                            ) from None
+                if tag == "error":
+                    raise RuntimeError(
+                        f"DataLoader worker {w} failed on batch {bi}: {out}"
+                    )
+                if out is not None:
+                    yield out
         finally:
             for p in procs:
                 p.terminate()
@@ -206,11 +228,24 @@ def _process_worker(dataset, collate_fn, tasks, out_q, seed):
     if hasattr(dataset, "rng"):
         dataset.rng = np.random.RandomState(seed)
     for bi, idxs in tasks:
-        samples = []
-        for i in idxs:
-            item = dataset[int(i)]
-            if item is None:
-                continue
-            item.pop("meta", None)
-            samples.append(item)
-        out_q.put((bi, collate_fn(samples) if samples else None))
+        try:
+            samples = []
+            for i in idxs:
+                item = dataset[int(i)]
+                if item is None:
+                    continue
+                item.pop("meta", None)
+                samples.append(item)
+            out_q.put(("ok", collate_fn(samples) if samples else None))
+        except Exception as e:  # surface in the consumer instead of hanging it
+            import traceback
+
+            out_q.put(("error", f"{e}\n{traceback.format_exc()}"))
+            return
+
+
+class _WorkerError:
+    """Sentinel carrying a worker exception across the thread boundary."""
+
+    def __init__(self, exc: Exception):
+        self.exc = exc

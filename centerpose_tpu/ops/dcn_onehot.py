@@ -1,11 +1,14 @@
-"""Pallas TPU kernel: windowed one-hot MXU sampler for DCNv2 (3x3, s1, p1, d1).
+"""Pallas TPU kernels: one-hot MXU samplers for DCNv2 (3x3, s1, p1, d1).
 
 Semantics parity target: the reference CUDA im2col sampler
 (src/lib/models/networks/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu:166-189), like
-ops/dcn.py — except sampling is restricted to a ±R input-row window around each
-block of output rows: taps whose vertical offset exceeds R contribute ZERO
-(they are not clamped). For |dy| <= R the result matches the exact op
-including all image-boundary cases.
+ops/dcn.py. The production exact=False path routes to `_grouped_kernel`
+(MXU-packed, samples EVERY offset exactly — data-adaptive loop bounds over the
+full height). The residual `_row_kernel` path (exact=True, or shapes neither
+packing fits) restricts sampling to a ±R input-row window around each block of
+output rows: taps whose vertical offset exceeds R contribute ZERO (they are
+not clamped); for |dy| <= R it matches the exact op including all
+image-boundary cases.
 
 Why this beats the XLA gather (NOTES_PERF.md): TPU gathers are row-latency-bound
 (~70 GB/s effective). Here bilinear sampling is re-expressed as matmuls against
@@ -358,13 +361,23 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     b, h, w, c = x.shape
     kh, kw, _, co = weight.shape
     assert (kh, kw) == (3, 3), "one-hot kernel supports 3x3 s1 p1 d1 only"
-    # MXU packing for the weighted-selector path: fold 128/W rows into K on
-    # small maps; pair rows into M=2C when C half-fills the MXU (see
+    if w > 128 or 2 * h * c * w * x.dtype.itemsize > 12 * 1024 * 1024:
+        # Wide/tall maps (keep-res / fix_short inputs beyond ~512) don't fit
+        # the whole-map-resident selector design (K = W and the feature map
+        # must sit in VMEM); take the exact gather instead of asserting.
+        return dcn_v2(x, offset, mask, weight, bias, stride=1, padding=1,
+                      dilation=1)
+    # MXU packing for the weighted-selector path: fold rows into K on small
+    # maps; pair rows into M=2C when C half-fills the MXU (see
     # `_grouped_kernel`). The row-sweep `_row_kernel` remains for exact=True
-    # and shapes neither packing helps.
-    nr = max(1, 128 // w) if not exact else 1
-    if h % nr != 0:
-        nr = 1
+    # and shapes neither packing helps. nr must divide H: take the largest
+    # divisor <= 128//W (non-power-of-two heights from keep-res still pack).
+    nr = 1
+    if not exact:
+        for d in range(min(max(1, 128 // w), h), 0, -1):
+            if h % d == 0:
+                nr = d
+                break
     mp = 2 if (not exact and nr == 1 and c <= 64 and h % 2 == 0) else 1
     grouped = nr > 1 or mp == 2
     if block_rows:

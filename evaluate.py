@@ -156,6 +156,7 @@ def main():
             init_cfg = preset(
                 "centerpose", category=args.category,
                 input_h=args.input_res, input_w=args.input_res,
+                dcn_impl=args.dcn_impl, compute_dtype=args.compute_dtype,
             )
             init_vars = (
                 _load_variables(args.init_load_model, init_cfg)

@@ -218,3 +218,30 @@ class TestGroupedKernel:
             np.testing.assert_allclose(
                 np.asarray(out), np.asarray(base), atol=3e-5, rtol=1e-5
             )
+
+
+class TestShapeFallbacks:
+    def test_wide_map_falls_back_to_gather(self):
+        # W > 128: the resident-selector design doesn't apply; must route to
+        # the exact gather (same numerics, no assert).
+        rng = np.random.RandomState(11)
+        args = _rand_case(rng, 1, 8, 136, 4, 4, 1.5)
+        out_k = oh.dcn_v2_onehot(*args, 4, False)
+        out_ref = dcn_v2(*args[:5])
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
+        )
+
+    def test_non_pow2_height_keeps_grouped_packing(self):
+        # h=20, w=16: nr=8 doesn't divide 20 but nr=4 does — the grouped path
+        # (exact for any |dy|) must be taken, proven by an offset far beyond
+        # any radius still matching the exact gather.
+        rng = np.random.RandomState(12)
+        x, _, mask, wt, bias = _rand_case(rng, 1, 20, 16, 8, 8, 0.0)
+        off = np.zeros((1, 20, 16, 18), np.float32)
+        off[:, :, :, 0::2] = 9.5
+        out_k = oh.dcn_v2_onehot(x, jnp.asarray(off), mask, wt, bias, 2, False)
+        out_ref = dcn_v2(x, jnp.asarray(off), mask, wt, bias)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
+        )

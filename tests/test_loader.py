@@ -146,3 +146,30 @@ class TestDataLoader:
         assert len(batches) == 2
         for b in batches:
             assert b["input"].shape == (2, 64, 64, 3)
+
+
+class TestWorkerFailure:
+    def test_thread_worker_exception_propagates(self):
+        class Exploding(FakeDataset):
+            def __getitem__(self, i):
+                if i == 5:
+                    raise ValueError("corrupt sample")
+                return super().__getitem__(i)
+
+        dl = DataLoader(Exploding(16), 4, shuffle=False, num_workers=2,
+                        collate_fn=_collate)
+        with pytest.raises(RuntimeError, match="worker failed"):
+            list(dl)
+
+    def test_process_worker_exception_propagates(self):
+        dl = DataLoader(_ExplodingPicklable(16), 4, shuffle=False,
+                        num_workers=2, collate_fn=_collate, mode="process")
+        with pytest.raises(RuntimeError, match="worker"):
+            list(dl)
+
+
+class _ExplodingPicklable(FakeDataset):
+    def __getitem__(self, i):
+        if i == 5:
+            raise ValueError("corrupt sample")
+        return super().__getitem__(i)
