@@ -517,14 +517,22 @@ def evaluate_dataset(
     eval_num_symmetry: Optional[int] = None,
     mobilepose_postprocess: bool = False,
     gt_scale: bool = False,
+    video_filter: Optional[Sequence[str]] = None,
 ) -> Evaluator:
-    """Run the detector over a DOPE-style dataset directory and accumulate AP."""
+    """Run the detector over a DOPE-style dataset directory and accumulate AP.
+
+    `video_filter`: restrict to these video ids (the reference's
+    --eval_hard_case subset evaluation, eval_video_official.py:1574-1603).
+    """
     from PIL import Image
 
     from centerpose_tpu.data.dataset import find_samples
 
     evaluator = Evaluator(config, eval_num_symmetry)
     samples = find_samples(data_root)
+    if video_filter:
+        keep = set(video_filter)
+        samples = [s for s in samples if s[1] in keep]
     if max_images:
         samples = samples[:max_images]
 

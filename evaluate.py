@@ -72,7 +72,30 @@ def parse_args():
     p.add_argument("--n_proc", type=int, default=1,
                    help="tfrecord mode: evaluate videos in N worker processes "
                         "(eval_video_official.py:1639-1675 parity)")
+    p.add_argument(
+        "--eval_hard_case", type=int, default=0, choices=(0, 1, 2),
+        help="evaluate a video subset: 1 = ids from --eval_hard_case_file "
+             "(hard_cases.json: {category: [video_id, ...]}), 2 = ids from "
+             "--eval_hard_case_list (eval_video_official.py:1574-1603)",
+    )
+    p.add_argument("--eval_hard_case_list", nargs="*", default=[])
+    p.add_argument("--eval_hard_case_file", default="hard_cases.json")
     return p.parse_args()
+
+
+def _hard_case_filter(args):
+    """Video-id subset for --eval_hard_case (reference parity)."""
+    if args.eval_hard_case == 1:
+        import json
+
+        with open(args.eval_hard_case_file) as f:
+            cases = json.load(f)
+        ids = cases.get(args.category, cases if isinstance(cases, list) else [])
+        return [str(v[0]) if isinstance(v, (list, tuple)) else str(v)
+                for v in ids]
+    if args.eval_hard_case == 2:
+        return [str(v) for v in args.eval_hard_case_list]
+    return None
 
 
 def _eval_shard(records, cfg, max_images, tracking, ablation, load_model="",
@@ -163,10 +186,17 @@ def main():
                 if args.init_load_model else None
             )
             init_detector = Detector(init_cfg, init_vars)
+        hard_ids = _hard_case_filter(args)
         if args.tfrecords:
             import glob as _glob
 
             records = sorted(_glob.glob(args.tfrecords))
+            if hard_ids is not None:
+                keep = set(hard_ids)
+                records = [
+                    r for r in records
+                    if os.path.splitext(os.path.basename(r))[0] in keep
+                ]
             if args.n_proc > 1 and len(records) > 1:
                 # Embarrassingly-parallel per-video shards, merged via the raw
                 # hit/conf records (no inter-process communication — SURVEY §2.2).
@@ -219,6 +249,7 @@ def main():
                 eval_num_symmetry=args.eval_num_symmetry or None,
                 mobilepose_postprocess=args.eval_MobilePose_postprocessing,
                 gt_scale=args.eval_gt_scale,
+                video_filter=hard_ids,
             )
         report = evaluator.report()
         print(report)
