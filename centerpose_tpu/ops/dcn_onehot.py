@@ -94,7 +94,7 @@ def _pick_block_rows(h: int, w: int, c: int, radius: int,
     return 1
 
 
-def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
+def _row_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
                 h: int, w: int, c: int, co: int, radius: int, g: int,
                 exact: bool):
     rb = pl.program_id(1)
@@ -104,9 +104,9 @@ def _row_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
     r0 = jnp.clip(rb * g - 1 - radius, 0, h - rw)
     gs = g * 9 * w
 
-    dy = dy_ref[0, 0]       # [1, GS] f32, lane = g·9W + t·W + w
-    dx = dx_ref[0, 0]
-    m = mask_ref[0, 0]
+    dy = dym_ref[0, 0, 0:1]   # [1, GS] f32, lane = g·9W + t·W + w
+    dx = dym_ref[0, 0, 1:2]
+    m = dym_ref[0, 0, 2:3]
     row_in_blk = idx_ref[0:1, :]   # precomputed lane decodes (f32 constants)
     t_row = idx_ref[1:2, :]
     t_col = idx_ref[2:3, :]
@@ -234,7 +234,7 @@ def _pick_grouped_block_rows(h: int, w: int, c: int, co: int, nr: int,
     return g
 
 
-def _grouped_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
+def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
                     h: int, w: int, c: int, co: int, g: int, nr: int, mp: int):
     """MXU-packed variant of `_row_kernel` (exact bilinear for ANY |dy|).
 
@@ -257,9 +257,9 @@ def _grouped_kernel(dy_ref, dx_ref, mask_ref, idx_ref, x_ref, w_ref, out_ref, *,
     rb = pl.program_id(1)
     gs = g * 9 * w
 
-    dy = dy_ref[0, 0]
-    dx = dx_ref[0, 0]
-    m = mask_ref[0, 0]
+    dy = dym_ref[0, 0, 0:1]
+    dx = dym_ref[0, 0, 1:2]
+    m = dym_ref[0, 0, 2:3]
     row_in_blk = idx_ref[0:1, :]
     t_row = idx_ref[1:2, :]
     t_col = idx_ref[2:3, :]
@@ -396,15 +396,14 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
 
     # Per-sample scalars folded into lanes TAP-MAJOR: lane = t·GW + g·W + w
     # (so the output conv slices one [C, G·W] block per tap — 9 matmuls per
-    # program independent of G). All transposes/reshapes happen here in XLA.
-    def fold(v):  # [b, h, w, 9] -> [b, h//g, 1, gs], lane = (t, g, w)
-        v = jnp.transpose(v, (0, 1, 3, 2)).reshape(b, h // g, g, 9, w)
-        return jnp.transpose(v, (0, 1, 3, 2, 4)).reshape(b, h // g, 1, gs)
-
+    # program independent of G), with dy/dx/mask STACKED on sublanes into one
+    # [B, H/G, 3, GS] input (one block DMA per program instead of three) via a
+    # single stack + transpose chain. All reshapes happen here in XLA.
     off = offset.reshape(b, h, w, 9, 2)
-    dy = fold(off[..., 0])
-    dx = fold(off[..., 1])
-    m = fold(mask)
+    v = jnp.stack([off[..., 0], off[..., 1], mask], axis=-1)  # [b,h,w,9,3]
+    v = jnp.transpose(v, (0, 1, 4, 3, 2))                     # [b,h,3,9,w]
+    v = v.reshape(b, h // g, g, 3, 9, w)
+    dym = jnp.transpose(v, (0, 1, 3, 4, 2, 5)).reshape(b, h // g, 3, gs)
     wt = weight.reshape(9, c, co).astype(x.dtype)
     if mp == 2:
         # Tap pairs stacked along K for the packed output conv ([5, 2C, Co];
@@ -471,11 +470,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         kernel,
         grid=(b, h // g),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, gs), lambda bi, r: (bi, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, gs), lambda bi, r: (bi, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, gs), lambda bi, r: (bi, r, 0, 0),
+            pl.BlockSpec((1, 1, 3, gs), lambda bi, r: (bi, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, gs), lambda bi, r: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -490,7 +485,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         # 'onehot' dcn_impl works on every backend (tests force CPU; the
         # serving CLIs expose --dcn_impl).
         interpret=(jax.default_backend() == "cpu"),
-    )(dy, dx, m, idx, xk, wt)
+    )(dym, idx, xk, wt)
     out = jnp.transpose(
         out_t.reshape(b, h // g, co, g, w), (0, 1, 3, 4, 2)
     ).reshape(b, h, w, co)
