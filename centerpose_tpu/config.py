@@ -131,7 +131,6 @@ class CenterPoseConfig:
     #                residual row-sweep path (odd heights with W in 65..128).
     #   'onehot_exact' — row-sweep variant with 0/1 selectors (f32-exact
     #                x-weights, |dy| <= dcn_window_radius window)
-    #   'windowed' — shifted-FMA research kernel (ops/dcn_pallas.py)
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
 

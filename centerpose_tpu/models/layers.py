@@ -174,7 +174,7 @@ class DeformConvBlock(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
-    dcn_impl: str = "gather"          # 'gather' (exact) | 'windowed' (fast)
+    dcn_impl: str = "gather"          # 'gather' (exact) | 'onehot' (MXU fast path)
     dcn_window_radius: int = 4
 
     @nn.compact
@@ -209,13 +209,6 @@ class DeformConvBlock(nn.Module):
                 x, offset, mask, weight.astype(self.dtype),
                 bias.astype(self.dtype), self.dcn_window_radius,
                 self.dcn_impl == "onehot_exact",
-            )
-        elif self.dcn_impl == "windowed":
-            from centerpose_tpu.ops.dcn_pallas import dcn_v2_windowed
-
-            x = dcn_v2_windowed(
-                x, offset, mask, weight.astype(self.dtype),
-                bias.astype(self.dtype), radius=self.dcn_window_radius,
             )
         else:
             x = dcn_v2(

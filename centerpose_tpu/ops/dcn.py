@@ -24,9 +24,10 @@ TPU design — NOT a CUDA translation:
     differentiable), so no hand-written backward is needed — unlike the reference's
     ~700-line col2im/coord-grad CUDA backward.
 
-A Pallas kernel specializing the gather locality (the 4 corners of each tap are
-adjacent rows in VMEM) lives in `centerpose_tpu/ops/dcn_pallas.py` and is used when
-shapes allow; this module is the reference implementation and fallback.
+The production TPU serving path is the Pallas one-hot MXU sampler in
+`centerpose_tpu/ops/dcn_onehot.py` (~9x at 512²/b32); this module is the exact
+reference implementation, the training path, and the fallback for shapes the
+Pallas kernels don't cover.
 """
 
 from __future__ import annotations

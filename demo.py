@@ -44,7 +44,7 @@ def parse_args():
     p.add_argument("--input_res", type=int, default=512)
     p.add_argument(
         "--dcn_impl", default="gather",
-        choices=("gather", "onehot", "onehot_exact", "windowed"),
+        choices=("gather", "onehot", "onehot_exact"),
         help="DCN sampler: 'gather' (exact, runs everywhere) or 'onehot' "
         "(Pallas MXU kernel — the fast TPU serving path, see NOTES_PERF.md)",
     )

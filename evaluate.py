@@ -28,7 +28,7 @@ def parse_args():
     p.add_argument("--input_res", type=int, default=512)
     p.add_argument(
         "--dcn_impl", default="gather",
-        choices=("gather", "onehot", "onehot_exact", "windowed"),
+        choices=("gather", "onehot", "onehot_exact"),
         help="DCN sampler ('onehot' = fast Pallas TPU path)",
     )
     p.add_argument("--compute_dtype", default="float32",
