@@ -49,7 +49,7 @@ def main():
             outputs = {k: v.astype(jnp.float32) for k, v in out.items()}
             dets = object_pose_decode(
                 outputs, k=cfg.K, rep_mode=cfg.rep_mode, inference=True,
-                fit_gaussian=False,
+                fit_gaussian=True,
             )
             # The carry serializes iterations and perturbs the next input.
             return dets["scores"].mean() * 1e-20, dets["scores"][0, 0, 0]
@@ -84,4 +84,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover - depends on live TPU state
+        # The axon tunnel occasionally surfaces a transient backend error
+        # (observed: FAILED_PRECONDITION mid-dispatch). Retry ONCE in a fresh
+        # process so a hiccup doesn't zero out the recorded benchmark; the
+        # JSON line still goes to stdout from the retried run.
+        import os
+        import sys
+
+        if os.environ.get("BENCH_RETRY"):
+            raise
+        print(
+            f"bench: transient failure ({type(e).__name__}: {e}); "
+            "retrying once in a fresh process",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        os.environ["BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -88,22 +88,30 @@ class DLA(nn.Module):
         train: bool = False,
     ) -> List[jnp.ndarray]:
         ch = self.channels
-        x = _Stem(ch[0], dtype=self.dtype, name="base_layer")(x, train)
+        # Remat the low-channel full-res stages: XLA stores their f32
+        # activations C-padded to the 128-lane tile (8x expansion — the
+        # 512²x16 level0 residual alone is 2G at b16), which together with the
+        # DCN im2col buffers overflows a single v5e's 15.75G in training.
+        # Recomputing them in backward costs ~1% step time; free at inference.
+        # (static_argnums: 0 is self in flax's nn.remat.)
+        stem = nn.remat(_Stem, static_argnums=(2,))
+        conv_level = nn.remat(_ConvLevel, static_argnums=(2,))
+        x = stem(ch[0], dtype=self.dtype, name="base_layer")(x, train)
         if self.with_pre_img and pre_img is not None:
-            x = x + _Stem(ch[0], dtype=self.dtype, name="pre_img_layer")(pre_img, train)
+            x = x + stem(ch[0], dtype=self.dtype, name="pre_img_layer")(pre_img, train)
         if self.with_pre_hm and pre_hm is not None:
-            x = x + _Stem(ch[0], dtype=self.dtype, name="pre_hm_layer")(pre_hm, train)
+            x = x + stem(ch[0], dtype=self.dtype, name="pre_hm_layer")(pre_hm, train)
         if self.with_pre_hm_hp and pre_hm_hp is not None:
-            x = x + _Stem(ch[0], dtype=self.dtype, name="pre_hm_hp_layer")(
+            x = x + stem(ch[0], dtype=self.dtype, name="pre_hm_hp_layer")(
                 pre_hm_hp, train
             )
 
         outs = []
-        x = _ConvLevel(ch[0], self.levels[0], 1, dtype=self.dtype, name="level0")(
+        x = conv_level(ch[0], self.levels[0], 1, dtype=self.dtype, name="level0")(
             x, train
         )
         outs.append(x)
-        x = _ConvLevel(ch[1], self.levels[1], 2, dtype=self.dtype, name="level1")(
+        x = conv_level(ch[1], self.levels[1], 2, dtype=self.dtype, name="level1")(
             x, train
         )
         outs.append(x)

@@ -211,9 +211,34 @@ class DeformConvBlock(nn.Module):
                 self.dcn_impl == "onehot_exact",
             )
         else:
-            x = dcn_v2(
-                x, offset, mask, weight.astype(self.dtype), bias.astype(self.dtype)
+            # Training-memory parity with the reference CUDA op, which loops
+            # the batch and RECOMPUTES im2col in backward (dcn_v2_cuda.cu):
+            # naive autodiff over the gather impl instead saves every layer's
+            # [B·HW, 4C] im2col matrix (measured 32.25G HBM for a 512² b16
+            # train step — 2x one v5e), and even rematted, one layer's
+            # backward transients peak at ~8G. Remat + batch-chunked lax.map
+            # bounds the transient to a 4-image chunk. Zero cost to the jitted
+            # forward at inference (remat is grad-only; map unrolls nothing
+            # extra — gathers are latency-bound either way).
+            wc = weight.astype(self.dtype)
+            bc = bias.astype(self.dtype)
+            dcn = jax.checkpoint(
+                lambda x_, o_, m_: dcn_v2(x_, o_, m_, wc, bc)
             )
+            bsz, chunk = x.shape[0], 4
+            if bsz > chunk and bsz % chunk == 0:
+                n = bsz // chunk
+                out = jax.lax.map(
+                    lambda t: dcn(*t),
+                    (
+                        x.reshape(n, chunk, *x.shape[1:]),
+                        offset.reshape(n, chunk, *offset.shape[1:]),
+                        mask.reshape(n, chunk, *mask.shape[1:]),
+                    ),
+                )
+                x = out.reshape(bsz, *out.shape[2:])
+            else:
+                x = dcn(x, offset, mask)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,

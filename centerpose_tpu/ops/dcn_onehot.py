@@ -517,14 +517,39 @@ def _fwd(x, offset, mask, weight, bias, radius, exact, block_rows):
 
 
 def _bwd(radius, exact, block_rows, res, g):
-    # Training gradient via the exact-gather op's autodiff (the window is an
-    # inference-speed measure; |dy|<=R training offsets make them identical).
+    # Training gradient via the exact-gather op's autodiff (the grouped
+    # forward is numerically the same op). The vjp is built PER BATCH CHUNK
+    # (lax.map) — a whole-batch tape of the gather op at 512² b16 needs ~8G
+    # of [B·HW, 4C] f32 transients per layer and OOMs a single v5e; chunking
+    # mirrors the reference CUDA backward's per-image loop.
     x, offset, mask, weight, bias = res
-    _, vjp = jax.vjp(
-        lambda *a: dcn_v2(*a, stride=1, padding=1, dilation=1), x, offset,
-        mask, weight, bias,
-    )
-    return vjp(g)
+    b = x.shape[0]
+    chunk = 4
+
+    def chunk_vjp(xb, ob, mb, gb):
+        _, vjp = jax.vjp(
+            lambda *a: dcn_v2(*a, stride=1, padding=1, dilation=1), xb, ob,
+            mb, weight, bias,
+        )
+        return vjp(gb)
+
+    if b > chunk and b % chunk == 0:
+        n = b // chunk
+
+        def resh(v):
+            return v.reshape(n, chunk, *v.shape[1:])
+
+        dx, doff, dm, dw, db = jax.lax.map(
+            lambda t: chunk_vjp(*t), (resh(x), resh(offset), resh(mask), resh(g))
+        )
+        return (
+            dx.reshape(b, *dx.shape[2:]),
+            doff.reshape(b, *doff.shape[2:]),
+            dm.reshape(b, *dm.shape[2:]),
+            dw.sum(axis=0),
+            db.sum(axis=0),
+        )
+    return chunk_vjp(x, offset, mask, g)
 
 
 dcn_v2_onehot.defvjp(_fwd, _bwd)

@@ -245,3 +245,22 @@ class TestShapeFallbacks:
         np.testing.assert_allclose(
             np.asarray(out_k), np.asarray(out_ref), atol=3e-5, rtol=1e-5
         )
+
+    def test_chunked_backward_matches_whole_batch(self):
+        # b=8 > chunk=4 routes _bwd through the lax.map per-chunk vjp; grads
+        # must equal the direct whole-batch gather autodiff.
+        rng = np.random.RandomState(13)
+        args = _rand_case(rng, 8, 8, 16, 4, 4, 1.2)
+
+        def loss(*a):
+            return jnp.sum(oh.dcn_v2_onehot(*a, 2, False) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(dcn_v2(*a) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
