@@ -133,6 +133,13 @@ class CenterPoseConfig:
     #                x-weights, |dy| <= dcn_window_radius window)
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
+    # Gradient-checkpointing knobs (training memory vs recompute). Both are
+    # REQUIRED to fit a 512² b16 f32 train step on one v5e (NOTES_PERF round
+    # 2f: naive autodiff needs 32.25G of 15.75G HBM); turn off only where
+    # memory is not a constraint (e.g. the CPU dryrun) to save the backward
+    # recompute time.
+    remat_dcn: bool = True            # checkpoint + 4-image chunked DCN bwd
+    remat_stem: bool = True           # remat stem/level0/level1 (C-padded f32)
 
     # ------------------------------------------------------------------------------
     @property

@@ -99,6 +99,7 @@ class CenterPoseNet(nn.Module):
             with_pre_img=cfg.tracking_task,
             with_pre_hm=cfg.tracking_task,
             with_pre_hm_hp=cfg.tracking_task,
+            remat_stem=cfg.remat_stem,
             dtype=dtype,
             name="base",
         )(x, pre_img, pre_hm, pre_hm_hp, train=train)
@@ -109,6 +110,7 @@ class CenterPoseNet(nn.Module):
             dtype=dtype,
             dcn_impl=cfg.dcn_impl,
             dcn_window_radius=cfg.dcn_window_radius,
+            dcn_remat=cfg.remat_dcn,
             name="dla_up",
         )(levels[FIRST_LEVEL:], train=train)
 
@@ -119,6 +121,7 @@ class CenterPoseNet(nn.Module):
             dtype=dtype,
             dcn_impl=cfg.dcn_impl,
             dcn_window_radius=cfg.dcn_window_radius,
+            dcn_remat=cfg.remat_dcn,
             name="ida_up",
         )(pyramid[: LAST_LEVEL - FIRST_LEVEL], train=train)[-1]
 

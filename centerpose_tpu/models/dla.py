@@ -76,6 +76,7 @@ class DLA(nn.Module):
     with_pre_img: bool = False
     with_pre_hm: bool = False
     with_pre_hm_hp: bool = False
+    remat_stem: bool = True           # cfg.remat_stem (see NOTES_PERF round 2f)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,8 +95,11 @@ class DLA(nn.Module):
         # DCN im2col buffers overflows a single v5e's 15.75G in training.
         # Recomputing them in backward costs ~1% step time; free at inference.
         # (static_argnums: 0 is self in flax's nn.remat.)
-        stem = nn.remat(_Stem, static_argnums=(2,))
-        conv_level = nn.remat(_ConvLevel, static_argnums=(2,))
+        if self.remat_stem:
+            stem = nn.remat(_Stem, static_argnums=(2,))
+            conv_level = nn.remat(_ConvLevel, static_argnums=(2,))
+        else:
+            stem, conv_level = _Stem, _ConvLevel
         x = stem(ch[0], dtype=self.dtype, name="base_layer")(x, train)
         if self.with_pre_img and pre_img is not None:
             x = x + stem(ch[0], dtype=self.dtype, name="pre_img_layer")(pre_img, train)
@@ -218,13 +222,15 @@ class _ProjUpNode(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
+    dcn_remat: bool = True
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         if self.deformable:
             x = DeformConvBlock(
                 self.features, dtype=self.dtype, dcn_impl=self.dcn_impl,
-                dcn_window_radius=self.dcn_window_radius, name="proj",
+                dcn_window_radius=self.dcn_window_radius,
+                dcn_remat=self.dcn_remat, name="proj",
             )(x, train)
         else:
             x = ConvBN(self.features, 1, relu=True, dtype=self.dtype, name="proj")(
@@ -235,7 +241,8 @@ class _ProjUpNode(nn.Module):
         if self.deformable:
             x = DeformConvBlock(
                 self.features, dtype=self.dtype, dcn_impl=self.dcn_impl,
-                dcn_window_radius=self.dcn_window_radius, name="node",
+                dcn_window_radius=self.dcn_window_radius,
+                dcn_remat=self.dcn_remat, name="node",
             )(x + skip, train)
         else:
             x = ConvBN(self.features, 3, relu=True, dtype=self.dtype, name="node")(
@@ -259,6 +266,7 @@ class IDAUp(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
+    dcn_remat: bool = True
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
@@ -271,6 +279,7 @@ class IDAUp(nn.Module):
                 dtype=self.dtype,
                 dcn_impl=self.dcn_impl,
                 dcn_window_radius=self.dcn_window_radius,
+                dcn_remat=self.dcn_remat,
                 name=f"stage_{i}",
             )(layers[i], out[i - 1], train)
             out.append(merged)
@@ -289,6 +298,7 @@ class DLAUp(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
+    dcn_remat: bool = True
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):

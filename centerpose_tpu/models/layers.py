@@ -176,6 +176,7 @@ class DeformConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dcn_impl: str = "gather"          # 'gather' (exact) | 'onehot' (MXU fast path)
     dcn_window_radius: int = 4
+    dcn_remat: bool = True            # checkpoint+chunk the gather bwd (cfg.remat_dcn)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -222,11 +223,11 @@ class DeformConvBlock(nn.Module):
             # extra — gathers are latency-bound either way).
             wc = weight.astype(self.dtype)
             bc = bias.astype(self.dtype)
-            dcn = jax.checkpoint(
-                lambda x_, o_, m_: dcn_v2(x_, o_, m_, wc, bc)
-            )
+            dcn = lambda x_, o_, m_: dcn_v2(x_, o_, m_, wc, bc)
+            if self.dcn_remat:
+                dcn = jax.checkpoint(dcn)
             bsz, chunk = x.shape[0], 4
-            if bsz > chunk and bsz % chunk == 0:
+            if self.dcn_remat and bsz > chunk and bsz % chunk == 0:
                 n = bsz // chunk
                 out = jax.lax.map(
                     lambda t: dcn(*t),
