@@ -96,6 +96,9 @@ if __name__ == "__main__":
 
         if os.environ.get("BENCH_RETRY"):
             raise
+        import traceback
+
+        traceback.print_exc()
         print(
             f"bench: transient failure ({type(e).__name__}: {e}); "
             "retrying once in a fresh process",

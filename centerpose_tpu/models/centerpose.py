@@ -62,7 +62,9 @@ class CenterPoseNetV0(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         channels = DLA34_CHANNELS
 
-        levels = DLA(dtype=dtype, name="base")(x, train=train)
+        levels = DLA(remat_stem=cfg.remat_stem, dtype=dtype, name="base")(
+            x, train=train
+        )
         feat = DLAUpV0(channels[FIRST_LEVEL:], dtype=dtype, name="dla_up")(
             levels[FIRST_LEVEL:], train=train
         )

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from centerpose_tpu.ops.dcn import dcn_v2
+from centerpose_tpu.ops.dcn import DCN_GRAD_CHUNK, dcn_v2
 
 # torch BN(momentum=0.1) keeps 0.9 of the running stat per step.
 BN_MOMENTUM = 0.9
@@ -224,10 +224,13 @@ class DeformConvBlock(nn.Module):
             wc = weight.astype(self.dtype)
             bc = bias.astype(self.dtype)
             dcn = lambda x_, o_, m_: dcn_v2(x_, o_, m_, wc, bc)
-            if self.dcn_remat:
+            # Only the TRAINING forward needs the memory bound; the serving
+            # forward keeps the whole-batch gather (no grad, no residuals).
+            use_remat = self.dcn_remat and train
+            if use_remat:
                 dcn = jax.checkpoint(dcn)
-            bsz, chunk = x.shape[0], 4
-            if self.dcn_remat and bsz > chunk and bsz % chunk == 0:
+            bsz, chunk = x.shape[0], DCN_GRAD_CHUNK
+            if use_remat and bsz > chunk and bsz % chunk == 0:
                 n = bsz // chunk
                 out = jax.lax.map(
                     lambda t: dcn(*t),

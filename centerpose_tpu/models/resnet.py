@@ -105,9 +105,10 @@ class PoseResNet(nn.Module):
             # full bilinear-init ConvTranspose2d(4, s2, p1)+BN+ReLU; filters
             # shrink 256→128→64.
             for di, planes in enumerate((256, 128, 64)):
-                x = DeformConvBlock(planes, dtype=dtype, name=f"deconv_dcn{di}")(
-                    x, train
-                )
+                x = DeformConvBlock(
+                    planes, dtype=dtype, dcn_impl=cfg.dcn_impl,
+                    dcn_remat=cfg.remat_dcn, name=f"deconv_dcn{di}",
+                )(x, train)
                 x = TorchConvTranspose(
                     planes, 4, 2, 1, bilinear_init=True, dtype=dtype,
                     name=f"deconv_up{di}",

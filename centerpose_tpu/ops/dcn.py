@@ -37,6 +37,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# Batch-chunk size for memory-bounded DCN backward passes (NOTES_PERF round
+# 2f): the reference CUDA backward loops per image; 4-image chunks bound one
+# layer's backward transients to ~2G at 512². Shared by the in-model gather
+# remat (models/layers.py) and dcn_v2_onehot's custom_vjp backward.
+DCN_GRAD_CHUNK = 4
+
 
 def _bilinear_gather(x_flat, py, px, h: int, w: int):
     """Bilinear sample of x_flat [B, H*W, C] at float coords py/px [B, N].

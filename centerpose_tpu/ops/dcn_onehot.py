@@ -51,7 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from centerpose_tpu.ops.dcn import dcn_v2
+from centerpose_tpu.ops.dcn import DCN_GRAD_CHUNK, dcn_v2
 
 
 def _pick_block_rows(h: int, w: int, c: int, radius: int,
@@ -524,7 +524,7 @@ def _bwd(radius, exact, block_rows, res, g):
     # mirrors the reference CUDA backward's per-image loop.
     x, offset, mask, weight, bias = res
     b = x.shape[0]
-    chunk = 4
+    chunk = DCN_GRAD_CHUNK
 
     def chunk_vjp(xb, ob, mb, gb):
         _, vjp = jax.vjp(
