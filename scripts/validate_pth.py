@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Numeric-parity validation against a RELEASED reference checkpoint (.pth).
+
+The test suite proves converter+architecture exactness with random weights
+(tests/test_torch_parity.py); this script is the ready-to-run harness for the
+real released blobs (absent in this image): it loads the .pth into BOTH the
+reference PyTorch model (/root/reference/src/lib, torch-cpu) and this
+framework (via models/convert.py), runs the same random input through both,
+and reports the per-head max deviation.
+
+Usage:
+  python scripts/validate_pth.py --pth shoe_v1_140.pth --arch dlav1_34 \
+      [--tracking] [--res 512] [--atol 1e-3]
+
+Exit code 0 iff every head agrees within --atol (scale-aware, see below).
+"""
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pth", required=True)
+    p.add_argument("--arch", default="dlav1_34")
+    p.add_argument("--tracking", action="store_true")
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument(
+        "--atol", type=float, default=1e-3,
+        help="max |ours - ref| per head, relative to the head's max |ref|",
+    )
+    args = p.parse_args()
+
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import torch_ref  # tests/torch_ref.py — reference constructors + DCN stub
+
+    from centerpose_tpu.config import preset
+    from centerpose_tpu.models import create_model
+    from centerpose_tpu.models.convert import convert_state_dict
+
+    name = "centerpose_track" if args.tracking else (
+        "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"
+    )
+    cfg = preset(name, arch=args.arch, input_h=args.res, input_w=args.res)
+
+    # Reference model with the released weights.
+    tmodel = torch_ref.build_ref_model(
+        args.arch, dict(cfg.heads), cfg.head_conv, tracking=args.tracking
+    )
+    ckpt = torch.load(args.pth, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    if missing or unexpected:
+        print(f"WARNING: missing={list(missing)[:5]} unexpected={list(unexpected)[:5]}")
+    tmodel.eval()
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (1, 3, args.res, args.res)).astype(np.float32)
+    t_out = torch_ref.torch_forward(tmodel, x)
+
+    # Our model with the converted weights.
+    model = create_model(cfg)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), x_nhwc)
+    np_sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    converted = convert_state_dict(
+        np_sd, jax.tree.map(np.asarray, variables), use_gn=cfg.use_conv_gru
+    )
+    j_out = model.apply(converted, x_nhwc, train=False)
+
+    ok = True
+    for head in sorted(t_out):
+        ours = np.asarray(j_out[head]).transpose(0, 3, 1, 2)
+        ref = t_out[head]
+        scale = max(np.abs(ref).max(), 1.0)
+        rel = np.abs(ours - ref).max() / scale
+        status = "OK  " if rel <= args.atol else "FAIL"
+        ok &= rel <= args.atol
+        print(f"{status} {head:16s} max_rel={rel:.3e} (|ref|max={scale:.3g})")
+    print("PARITY OK" if ok else "PARITY FAILED")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
