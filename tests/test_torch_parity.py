@@ -77,6 +77,14 @@ class TestForwardParity:
                      head_conv=64)
         _build_and_compare(cfg, "res_18")
 
+    def test_resdcn_18(self):
+        # resnet_dcn.py: DCN(3x3)+BN+ReLU then bilinear-init deconv per stage,
+        # filters 256→128→64 (reference marks the arch untested; the structure
+        # and converter mapping are verified here with the CPU-oracle DCN).
+        cfg = preset("centerpose", arch="resdcn_18", input_h=RES, input_w=RES,
+                     head_conv=64)
+        _build_and_compare(cfg, "resdcn_18", offset_noise=0.01, atol=2e-4)
+
     def test_dla_34_oracle_dcn(self):
         # Plain dla_34 (no convGRU), DCN offsets perturbed away from zero so the
         # deformable sampling path is exercised for real.

@@ -123,6 +123,16 @@ def build_ref_model(arch: str, heads: dict, head_conv: int, tracking: bool = Fal
             )
         finally:
             dlav0.dla34 = orig_dla34
+    elif arch.startswith("resdcn"):
+        install_dcn_stub()
+        from models.networks import resnet_dcn
+
+        num_layers = int(arch.split("_")[1])
+        block, layers = resnet_dcn.resnet_spec[num_layers]
+        # Build PoseResNet directly: get_pose_net→init_weights downloads
+        # pretrained weights from model_zoo (no egress here); randomize_state
+        # supplies the weights instead.
+        model = resnet_dcn.PoseResNet(block, layers, heads, head_conv)
     elif arch.startswith("res"):
         from models.networks import msra_resnet
 
