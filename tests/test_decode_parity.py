@@ -154,6 +154,54 @@ def numpy_decode_inference(outputs, k=K, thresh=0.1):
     }
 
 
+def numpy_decode_inference_fit(outputs, k=K, thresh=0.1):
+    """Mirror of the fit_gaussian=True stats (reference decode.py:209-256 /
+    gpfit.moments): per valid keypoint, an 11x11 window is cut around the
+    truncated peak pixel (zero-padded at image borders), and gaussian
+    parameters come from moments — mu = intensity-weighted centroid, std from
+    the 1-D profiles through the integer centroid, height = window max.
+    Written independently of ops/decode.py (loops, not vectorized)."""
+    base = numpy_decode_inference(outputs, k, thresh)
+    valid = base["kps_heatmap_std"].reshape(B, k, J, 2)[..., 0] != -10000.0
+    peak_xy = base["kps_heatmap_mean"].reshape(B, k, J, 2)  # filtered peaks
+    hm_raw = _sigmoid(outputs["hm_hp"])  # [B, H, W, J]
+
+    ran = 5
+    mean = np.full((B, k, J, 2), -10000.0)
+    std = np.full((B, k, J, 2), -10000.0)
+    height = np.full((B, k, J), -10000.0)
+    padded = np.pad(hm_raw, ((0, 0), (ran, ran), (ran, ran), (0, 0)))
+    for b in range(B):
+        for kk_ in range(k):
+            for j in range(J):
+                if not valid[b, kk_, j]:
+                    continue
+                px, py = peak_xy[b, kk_, j]
+                ix = int(np.clip(np.float32(px), 0, W - 1))
+                iy = int(np.clip(np.float32(py), 0, H - 1))
+                win = padded[b, iy:iy + 2 * ran + 1, ix:ix + 2 * ran + 1, j]
+                total = win.sum()
+                rows = np.arange(2 * ran + 1)
+                mu_y = (win.sum(axis=1) * rows).sum() / total
+                mu_x = (win.sum(axis=0) * rows).sum() / total
+                col = win[:, int(mu_x)]  # profile along y at the centroid col
+                row = win[int(mu_y), :]
+                std_y = np.sqrt(
+                    (np.abs((rows - mu_y) ** 2 * col)).sum() / col.sum()
+                )
+                std_x = np.sqrt(
+                    (np.abs((rows - mu_x) ** 2 * row)).sum() / row.sum()
+                )
+                mean[b, kk_, j] = (px + mu_x - ran, py + mu_y - ran)
+                std[b, kk_, j] = (std_x, std_y)
+                height[b, kk_, j] = win.max()
+    return {
+        "kps_heatmap_mean": mean.reshape(B, k, 2 * J),
+        "kps_heatmap_std": std.reshape(B, k, 2 * J),
+        "kps_heatmap_height": height,
+    }
+
+
 @pytest.fixture(scope="module")
 def head_outputs():
     rng = np.random.RandomState(42)
@@ -204,6 +252,27 @@ class TestDecodeParity:
         )
         np.testing.assert_allclose(
             np.asarray(got["kps_heatmap_std"]), ref["kps_heatmap_std"], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["kps_heatmap_height"]), ref["kps_heatmap_height"],
+            atol=1e-5,
+        )
+
+    def test_matches_numpy_mirror_gaussian_fit(self, head_outputs):
+        """fit_gaussian=True window moments vs an independent loop mirror."""
+        ref = numpy_decode_inference_fit(head_outputs)
+        got = object_pose_decode(
+            {k_: jnp.asarray(v) for k_, v in head_outputs.items()},
+            k=K, rep_mode=1, inference=True, fit_gaussian=True,
+            apply_sigmoid=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["kps_heatmap_mean"]), ref["kps_heatmap_mean"],
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["kps_heatmap_std"]), ref["kps_heatmap_std"],
+            atol=1e-4,
         )
         np.testing.assert_allclose(
             np.asarray(got["kps_heatmap_height"]), ref["kps_heatmap_height"],
