@@ -140,6 +140,11 @@ class CenterPoseConfig:
     # recompute time.
     remat_dcn: bool = True            # checkpoint + 4-image chunked DCN bwd
     remat_stem: bool = True           # remat stem/level0/level1 (C-padded f32)
+    # Inference-only: evaluate the DLA stem chain (7x7 stem + level0 + level1)
+    # in space-to-depth f=2 layout (ops/s2d.py) — exact, same parameters,
+    # ~3.5x faster on TPU (C=16 @512² runs at <5% MXU utilization otherwise).
+    # Ignored when train=True or the input is not even-sized.
+    s2d_stem: bool = True
 
     # ------------------------------------------------------------------------------
     @property

@@ -62,9 +62,10 @@ class CenterPoseNetV0(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         channels = DLA34_CHANNELS
 
-        levels = DLA(remat_stem=cfg.remat_stem, dtype=dtype, name="base")(
-            x, train=train
-        )
+        levels = DLA(
+            remat_stem=cfg.remat_stem, s2d_stem=cfg.s2d_stem, dtype=dtype,
+            name="base",
+        )(x, train=train)
         feat = DLAUpV0(channels[FIRST_LEVEL:], dtype=dtype, name="dla_up")(
             levels[FIRST_LEVEL:], train=train
         )
@@ -102,6 +103,7 @@ class CenterPoseNet(nn.Module):
             with_pre_hm=cfg.tracking_task,
             with_pre_hm_hp=cfg.tracking_task,
             remat_stem=cfg.remat_stem,
+            s2d_stem=cfg.s2d_stem,
             dtype=dtype,
             name="base",
         )(x, pre_img, pre_hm, pre_hm_hp, train=train)

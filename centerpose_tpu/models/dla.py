@@ -25,9 +25,11 @@ from centerpose_tpu.models.layers import (
     BasicBlock,
     ConvBN,
     DeformConvBlock,
+    S2DConvBN,
     Tree,
     UpsampleConv,
 )
+from centerpose_tpu.ops.s2d import depth_to_space, space_to_depth
 
 DLA34_LEVELS = (1, 1, 1, 2, 2, 1)
 DLA34_CHANNELS = (16, 32, 64, 128, 256, 512)
@@ -68,6 +70,39 @@ class _ConvLevel(nn.Module):
         return x
 
 
+class _S2DStem(nn.Module):
+    """S2D-layout twin of `_Stem` — same param tree (see layers.S2DConvBN)."""
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return S2DConvBN(
+            self.features, 7, self.in_features, mode="s2d", dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class _S2DConvLevel(nn.Module):
+    """S2D-layout twin of a 1-conv `_ConvLevel`; `exit_stride2` maps the
+    stride-2 level back to the normal layout."""
+
+    features: int
+    in_features: int
+    exit_stride2: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return S2DConvBN(
+            self.features, 3, self.in_features,
+            mode="exit" if self.exit_stride2 else "s2d",
+            dtype=self.dtype, name="conv0",
+        )(x)
+
+
 class DLA(nn.Module):
     """DLA-34 trunk returning the 6 per-level feature maps (strides 1..32)."""
 
@@ -77,6 +112,7 @@ class DLA(nn.Module):
     with_pre_hm: bool = False
     with_pre_hm_hp: bool = False
     remat_stem: bool = True           # cfg.remat_stem (see NOTES_PERF round 2f)
+    s2d_stem: bool = False            # cfg.s2d_stem (inference-only S2D chain)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -95,30 +131,70 @@ class DLA(nn.Module):
         # DCN im2col buffers overflows a single v5e's 15.75G in training.
         # Recomputing them in backward costs ~1% step time; free at inference.
         # (static_argnums: 0 is self in flax's nn.remat.)
-        if self.remat_stem:
-            stem = nn.remat(_Stem, static_argnums=(2,))
-            conv_level = nn.remat(_ConvLevel, static_argnums=(2,))
+        # Inference-only exact space-to-depth stem chain (ops/s2d.py): the
+        # C=16 @512² stages run <5% MXU utilization in the plain layout
+        # (~10.8 ms of an 80 ms b32 step). The plain path still runs at init
+        # (creating the identical param tree) and in training.
+        use_s2d = (
+            self.s2d_stem
+            and not train
+            and not self.is_initializing()
+            and self.levels[0] == 1
+            and self.levels[1] == 1
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+        if use_s2d:
+            xs = space_to_depth(x, 2)
+            x = _S2DStem(ch[0], 3, dtype=self.dtype, name="base_layer")(xs)
+            for flag, inp, name in (
+                (self.with_pre_img, pre_img, "pre_img_layer"),
+                (self.with_pre_hm, pre_hm, "pre_hm_layer"),
+                (self.with_pre_hm_hp, pre_hm_hp, "pre_hm_hp_layer"),
+            ):
+                if flag and inp is not None:
+                    x = x + _S2DStem(
+                        ch[0], inp.shape[-1], dtype=self.dtype, name=name
+                    )(space_to_depth(inp, 2))
+            outs = []
+            x = _S2DConvLevel(ch[0], ch[0], dtype=self.dtype, name="level0")(x)
+            # level0's stride-1 map is only consumed by level1 here; the
+            # un-transform below is dead code unless a caller reads outs[0]
+            # (XLA removes it otherwise).
+            outs.append(depth_to_space(x, 2))
+            x = _S2DConvLevel(
+                ch[1], ch[0], exit_stride2=True, dtype=self.dtype, name="level1"
+            )(x)
+            outs.append(x)
         else:
-            stem, conv_level = _Stem, _ConvLevel
-        x = stem(ch[0], dtype=self.dtype, name="base_layer")(x, train)
-        if self.with_pre_img and pre_img is not None:
-            x = x + stem(ch[0], dtype=self.dtype, name="pre_img_layer")(pre_img, train)
-        if self.with_pre_hm and pre_hm is not None:
-            x = x + stem(ch[0], dtype=self.dtype, name="pre_hm_layer")(pre_hm, train)
-        if self.with_pre_hm_hp and pre_hm_hp is not None:
-            x = x + stem(ch[0], dtype=self.dtype, name="pre_hm_hp_layer")(
-                pre_hm_hp, train
-            )
+            if self.remat_stem:
+                stem = nn.remat(_Stem, static_argnums=(2,))
+                conv_level = nn.remat(_ConvLevel, static_argnums=(2,))
+            else:
+                stem, conv_level = _Stem, _ConvLevel
+            x = stem(ch[0], dtype=self.dtype, name="base_layer")(x, train)
+            if self.with_pre_img and pre_img is not None:
+                x = x + stem(ch[0], dtype=self.dtype, name="pre_img_layer")(
+                    pre_img, train
+                )
+            if self.with_pre_hm and pre_hm is not None:
+                x = x + stem(ch[0], dtype=self.dtype, name="pre_hm_layer")(
+                    pre_hm, train
+                )
+            if self.with_pre_hm_hp and pre_hm_hp is not None:
+                x = x + stem(ch[0], dtype=self.dtype, name="pre_hm_hp_layer")(
+                    pre_hm_hp, train
+                )
 
-        outs = []
-        x = conv_level(ch[0], self.levels[0], 1, dtype=self.dtype, name="level0")(
-            x, train
-        )
-        outs.append(x)
-        x = conv_level(ch[1], self.levels[1], 2, dtype=self.dtype, name="level1")(
-            x, train
-        )
-        outs.append(x)
+            outs = []
+            x = conv_level(
+                ch[0], self.levels[0], 1, dtype=self.dtype, name="level0"
+            )(x, train)
+            outs.append(x)
+            x = conv_level(
+                ch[1], self.levels[1], 2, dtype=self.dtype, name="level1"
+            )(x, train)
+            outs.append(x)
         x = Tree(
             self.levels[2], ch[1], ch[2], 2, level_root=False, dtype=self.dtype,
             name="level2",

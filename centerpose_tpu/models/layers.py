@@ -58,6 +58,88 @@ class ConvBN(nn.Module):
         return x
 
 
+class _S2DConvParam(nn.Module):
+    """Declares an nn.Conv-compatible kernel param ('kernel') and returns it."""
+
+    kshape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), tuple(self.kshape)
+        )
+
+
+class _S2DBNParam(nn.Module):
+    """Declares nn.BatchNorm-compatible params/stats and returns them."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class S2DConvBN(nn.Module):
+    """ConvBN evaluated in space-to-depth f=2 layout — identical param tree.
+
+    Parameters are declared with the ORIGINAL shapes under the same names as
+    ConvBN ('conv'/kernel + 'bn'/scale...), so checkpoints / the torch
+    converter are layout-agnostic; the forward scatters the kernel into the
+    exact S2D equivalent (ops/s2d.py) and repeats the BN affine per
+    sub-position. Inference-only (running BN stats; no stat updates).
+
+    mode: 's2d'  — stride-1 conv, S2D in → S2D out
+          'exit' — the chain's stride-2 3x3 conv, S2D in → NORMAL out
+    """
+
+    features: int
+    kernel: int
+    in_features: int
+    mode: str = "s2d"
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from centerpose_tpu.ops.s2d import (
+            s2d_conv_kernel,
+            s2d_exit_kernel,
+            s2d_padding,
+        )
+
+        x = x.astype(self.dtype)  # match nn.Conv(dtype=...) input promotion
+        w = _S2DConvParam(
+            (self.kernel, self.kernel, self.in_features, self.features),
+            name="conv",
+        )()
+        scale, bias, mean, var = _S2DBNParam(self.features, name="bn")()
+        if self.mode == "exit":
+            wt = s2d_exit_kernel(w)
+            pad, reps = [(1, 0), (1, 0)], 1
+        else:
+            wt = s2d_conv_kernel(w)
+            pad, reps = s2d_padding(self.kernel), 4
+        y = jax.lax.conv_general_dilated(
+            x, wt.astype(x.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        m = scale * jax.lax.rsqrt(var + BN_EPS)
+        b = bias - mean * m
+        if reps > 1:
+            m, b = jnp.tile(m, reps), jnp.tile(b, reps)
+        y = y * m.astype(y.dtype) + b.astype(y.dtype)
+        return nn.relu(y) if self.relu else y
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs with a residual add (pose_dla_dcn.py:34-62)."""
 
