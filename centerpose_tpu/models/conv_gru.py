@@ -11,17 +11,37 @@ here; Wi* convs carry bias, Wh* convs do not):
     h_t = (1 - z_t) * n_t + z_t * h_{t-1}
 
 The reference iterates the cell `step` times feeding the SAME spatial feature x each
-step (convGRU.py:72-94); step-t hidden states are routed to head group t. Here the
-unroll is a fixed-length `lax.scan` over shared cell parameters inside one jit.
+step (convGRU.py:72-94). TPU shaping (exact — pure linearity, parameter tree
+unchanged):
+  * the three input projections Wir/Wiz/Win are computed ONCE for all steps
+    (x never changes) as a single fused Cin->3H conv;
+  * the three hidden convs Whr/Whz/Whn fuse into one Cin->3H conv per step —
+    Whn(h) does not depend on r (r scales its OUTPUT), so all three share h.
+  A lone 64-lane conv idles half the MXU; the fused 192-lane conv does not,
+  and h is read once per step instead of three times.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class _ConvParam(nn.Module):
+    """Declares nn.Conv-compatible params ('kernel' [+ 'bias']) and returns them."""
+
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, shape):
+        k = self.param("kernel", nn.initializers.lecun_normal(), tuple(shape))
+        b = (
+            self.param("bias", nn.initializers.zeros, (shape[-1],))
+            if self.use_bias
+            else None
+        )
+        return k, b
 
 
 class ConvGRUCell(nn.Module):
@@ -29,24 +49,56 @@ class ConvGRUCell(nn.Module):
     kernel: int = 3
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, h):
-        pad = [(self.kernel // 2, self.kernel // 2)] * 2
+    def setup(self):
+        self.Wir = _ConvParam(True)
+        self.Wiz = _ConvParam(True)
+        self.Win = _ConvParam(True)
+        self.Whr = _ConvParam()
+        self.Whz = _ConvParam()
+        self.Whn = _ConvParam()
 
-        def conv(name, use_bias):
-            return nn.Conv(
-                self.hidden,
-                (self.kernel, self.kernel),
-                padding=pad,
-                use_bias=use_bias,
-                dtype=self.dtype,
-                name=name,
-            )
+    def _kernels(self, in_ch: int):
+        """Per-gate parameters (reference names/shapes), fused along Cout as
+        [r | z | n]."""
+        kk = (self.kernel, self.kernel)
+        wi, bi, wh = [], [], []
+        for wim, whm in ((self.Wir, self.Whr), (self.Wiz, self.Whz),
+                         (self.Win, self.Whn)):
+            k, b = wim(kk + (in_ch, self.hidden))
+            wi.append(k)
+            bi.append(b)
+            k, _ = whm(kk + (self.hidden, self.hidden))
+            wh.append(k)
+        return (
+            jnp.concatenate(wi, axis=-1),
+            jnp.concatenate(bi, axis=-1),
+            jnp.concatenate(wh, axis=-1),
+        )
 
-        r = jax.nn.sigmoid(conv("Wir", True)(x) + conv("Whr", False)(h))
-        z = jax.nn.sigmoid(conv("Wiz", True)(x) + conv("Whz", False)(h))
-        n = jnp.tanh(conv("Win", True)(x) + r * conv("Whn", False)(h))
-        return (1.0 - z) * n + z * h
+    def _conv(self, x, w):
+        pad = self.kernel // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), (1, 1),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def input_proj(self, x):
+        """[B,H,W,Cin] -> fused [B,H,W,3H] input projection (bias included) —
+        loop-invariant across GRU steps."""
+        wi, bi, _ = self._kernels(x.shape[-1])
+        return self._conv(x, wi) + bi.astype(self.dtype)
+
+    def __call__(self, x, h, xp=None):
+        hh = self.hidden
+        if xp is None:
+            xp = self.input_proj(x)
+        _, _, wh = self._kernels(x.shape[-1])
+        hp = self._conv(h, wh)
+        r = jax.nn.sigmoid(xp[..., :hh] + hp[..., :hh])
+        z = jax.nn.sigmoid(xp[..., hh:2 * hh] + hp[..., hh:2 * hh])
+        n = jnp.tanh(xp[..., 2 * hh:] + r * hp[..., 2 * hh:])
+        return (1.0 - z) * n + z * h.astype(self.dtype)
 
 
 class ConvGRU(nn.Module):
@@ -62,13 +114,16 @@ class ConvGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cell = ConvGRUCell(self.hidden, self.kernel, dtype=self.dtype, name="cell0")
+        cell = ConvGRUCell(
+            self.hidden, self.kernel, dtype=self.dtype, name="cell0"
+        )
         h = jnp.zeros(x.shape[:3] + (self.hidden,), dtype=x.dtype)
 
+        xp = cell.input_proj(x)  # shared by every step (x is constant)
         # Unrolled (steps is 3 or 4): XLA fuses fine and scan-over-shared-params
         # would block per-step head routing anyway.
         outputs = []
         for _ in range(self.steps):
-            h = cell(x, h)
+            h = cell(x, h, xp=xp)
             outputs.append(h)
         return jnp.stack(outputs, axis=0)
