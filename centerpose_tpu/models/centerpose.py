@@ -16,13 +16,14 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from centerpose_tpu.config import CenterPoseConfig
 from centerpose_tpu.models.conv_gru import ConvGRU
 from centerpose_tpu.models.dla import DLA, DLA34_CHANNELS, DLAUp, DLAUpV0, IDAUp
-from centerpose_tpu.models.layers import HeadConv
+from centerpose_tpu.models.layers import HeadConv, SplitHeadConv
 
 FIRST_LEVEL = 2  # log2(down_ratio=4)
 LAST_LEVEL = 5
@@ -144,7 +145,45 @@ class CenterPoseNet(nn.Module):
             )(feature)
 
         out: Dict[str, jnp.ndarray] = {}
-        if use_gru:
+        if use_gru and cfg.head_conv > 0:
+            groups = _GRU_GROUPS_TRACK if cfg.tracking_task else _GRU_GROUPS_IMAGE
+            states = ConvGRU(steps=cfg.gru_steps, hidden=64, dtype=dtype, name="convGRU")(
+                feat
+            )
+            # Per GRU step, the present heads' 3x3 conv1 kernels concatenate
+            # into ONE wide conv over the shared state (a lone 256-lane conv
+            # leaves scheduling/read overlap on the table; the state is read
+            # once instead of per head). Identical math + parameter tree
+            # (layers.SplitHeadConv).
+            mods = {
+                head: SplitHeadConv(
+                    heads[head],
+                    cfg.head_conv,
+                    use_gn=True,
+                    bias_init_value=-2.19 if "hm" in head else 0.0,
+                    dtype=dtype,
+                    name=head,
+                )
+                for head in heads
+            }
+            for step, group in enumerate(groups):
+                present = [h for h in group if h in heads]
+                if not present:
+                    continue
+                feature = states[step]
+                ks, bs = zip(
+                    *[mods[h].conv1_params(feature.shape[-1]) for h in present]
+                )
+                wcat = jnp.concatenate(ks, axis=-1).astype(dtype)
+                bcat = jnp.concatenate(bs, axis=-1).astype(dtype)
+                y = jax.lax.conv_general_dilated(
+                    feature.astype(dtype), wcat, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + bcat
+                for i, h in enumerate(present):
+                    sl = y[..., i * cfg.head_conv:(i + 1) * cfg.head_conv]
+                    out[h] = mods[h](sl)
+        elif use_gru:
             groups = _GRU_GROUPS_TRACK if cfg.tracking_task else _GRU_GROUPS_IMAGE
             states = ConvGRU(steps=cfg.gru_steps, hidden=64, dtype=dtype, name="convGRU")(
                 feat

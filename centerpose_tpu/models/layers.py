@@ -431,6 +431,58 @@ class TorchConvTranspose(nn.Module):
         )
 
 
+class SplitHeadConv(nn.Module):
+    """HeadConv split into conv1-params + finish, enabling cross-head fusion.
+
+    Same parameter tree as HeadConv ({head}/conv1, {head}/gn, {head}/out);
+    the caller concatenates several heads' conv1 kernels into ONE wide conv
+    over the shared feature (single feature read, full MXU lanes), then feeds
+    each head's slice to `finish` (GN -> ReLU -> 1x1 out conv). Requires
+    head_conv > 0 (callers keep HeadConv otherwise).
+    """
+
+    classes: int
+    head_conv: int = 256
+    use_gn: bool = False
+    bias_init_value: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.conv1 = _HeadConv1Param()
+        if self.use_gn:
+            self.gn = nn.GroupNorm(
+                num_groups=32 if self.head_conv % 32 == 0 else 16,
+                epsilon=1e-5, dtype=self.dtype,
+            )
+        self.out = nn.Conv(
+            self.classes,
+            (1, 1),
+            bias_init=nn.initializers.constant(self.bias_init_value),
+            dtype=self.dtype,
+        )
+
+    def conv1_params(self, in_features: int):
+        """(kernel [3,3,cin,head_conv], bias [head_conv]) of the 3x3 conv."""
+        return self.conv1((3, 3, in_features, self.head_conv))
+
+    def __call__(self, y):
+        """`finish`: y is this head's slice of the fused conv1 output."""
+        if self.use_gn:
+            y = self.gn(y)
+        y = nn.relu(y)
+        return self.out(y)
+
+
+class _HeadConv1Param(nn.Module):
+    """nn.Conv-compatible kernel+bias declaration (shape given at call)."""
+
+    @nn.compact
+    def __call__(self, shape):
+        k = self.param("kernel", nn.initializers.lecun_normal(), tuple(shape))
+        b = self.param("bias", nn.initializers.zeros, (shape[-1],))
+        return k, b
+
+
 class HeadConv(nn.Module):
     """Prediction head: 3x3 conv -> [GroupNorm] -> ReLU -> 1x1 conv.
 

@@ -207,7 +207,7 @@ def _pick_grouped_block_rows(h: int, w: int, c: int, co: int, nr: int,
     1.6 at 16), 16²→16 (1.4, whole image). That is G≈2 for the M-paired path
     and G≈256/H for the K-folded path, shrunk if the kernel-live VMEM estimate
     overflows the 16M scoped budget."""
-    if mp == 2:
+    if mp >= 2:
         best = 2
     else:
         best = max(1, min(h, 256 // max(h, 1)))
@@ -308,31 +308,33 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
 
         acc = jax.lax.fori_loop(glo, ghi, body, jnp.zeros((c, gs), acc_dt))
     else:
-        # Rows are PRE-PAIRED in XLA ([B, H/2, 2C, W]); the kernel slices one
-        # [2C, W] pair per iteration — no in-kernel concat (measured: a
+        # Rows are PRE-STACKED in XLA ([B, H/mp, mp*C, W]); the kernel slices
+        # one [mp*C, W] stack per iteration — no in-kernel concat (measured: a
         # per-iteration two-row concat costs more than the halved matmuls
-        # saved).
+        # saved). mp=2 pairs fill M=128 at C=64; mp=4 quads (M=256) halve the
+        # iteration count again.
         xhat_d = xhat.astype(x_ref.dtype)
-        plo = lo.astype(jnp.int32) // 2
-        phi = (hi.astype(jnp.int32) + 1) // 2
+        plo = lo.astype(jnp.int32) // mp
+        phi = (hi.astype(jnp.int32) + mp - 1) // mp
         phi = jnp.maximum(phi, plo)
 
         def body(p, acc):
             st = jax.lax.dot_general(
                 x_ref[0, p], xhat_d, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(acc_dt)                                   # [2C, GS]
-            rf = (p * 2).astype(jnp.float32)
-            a0 = jnp.maximum(1.0 - jnp.abs(pyc - rf), 0.0)
-            a1 = jnp.maximum(1.0 - jnp.abs(pyc - (rf + 1.0)), 0.0)
-            return acc + a0.astype(acc_dt) * st[:c] + a1.astype(acc_dt) * st[c:]
+            ).astype(acc_dt)                                   # [mp*C, GS]
+            rf = (p * mp).astype(jnp.float32)
+            for i in range(mp):
+                a = jnp.maximum(1.0 - jnp.abs(pyc - (rf + float(i))), 0.0)
+                acc = acc + a.astype(acc_dt) * st[i * c:(i + 1) * c]
+            return acc
 
         acc = jax.lax.fori_loop(plo, phi, body, jnp.zeros((c, gs), acc_dt))
 
     acc = (acc * m.astype(acc_dt)).astype(w_ref.dtype)
     gw = g * w
     out = jnp.zeros((co, gw), jnp.float32)
-    if mp == 2:
+    if mp >= 2:
         # Tap-PAIR packed output conv: weights arrive as [5, 2C, Co] (taps
         # 2t/2t+1 stacked; tap 8's high half is zero), so each dot has a full
         # K = 2C = 128 instead of 9 half-idle K=C dots. Tap 8's rhs block is
@@ -357,7 +359,8 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
 
 
 def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
-                         exact: bool = True, block_rows: int = 0):
+                         exact: bool = True, block_rows: int = 0,
+                         mp_rows: int = 0):
     b, h, w, c = x.shape
     kh, kw, _, co = weight.shape
     assert (kh, kw) == (3, 3), "one-hot kernel supports 3x3 s1 p1 d1 only"
@@ -378,8 +381,17 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
             if h % d == 0:
                 nr = d
                 break
-    mp = 2 if (not exact and nr == 1 and c <= 64 and h % 2 == 0) else 1
-    grouped = nr > 1 or mp == 2
+    mp = 1
+    if not exact and nr == 1 and c <= 64:
+        if mp_rows:
+            mp = mp_rows
+            assert h % mp == 0 and mp * c <= 256, (mp, h, c)
+        elif h % 2 == 0:
+            # mp=4 (M-quad, two MXU tiles) measured WORSE than pairs on v5e
+            # (128² g2: 6.82 vs 6.43 ms isolated) — the M=256 lhs loses more
+            # to tile pressure than the halved iterations save. Pairs stay.
+            mp = 2
+    grouped = nr > 1 or mp >= 2
     if block_rows:
         g = block_rows
     elif grouped:
@@ -405,7 +417,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     v = v.reshape(b, h // g, g, 3, 9, w)
     dym = jnp.transpose(v, (0, 1, 3, 4, 2, 5)).reshape(b, h // g, 3, gs)
     wt = weight.reshape(9, c, co).astype(x.dtype)
-    if mp == 2:
+    if mp >= 2:
         # Tap pairs stacked along K for the packed output conv ([5, 2C, Co];
         # tap 8's high half zero — see `_grouped_kernel`).
         wt = (
@@ -446,13 +458,14 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         xspec = pl.BlockSpec((1, h // nr, c, nr * w),
                              lambda bi, r: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    elif mp == 2:
-        # Row PAIRS pre-stacked along channels: sublane i·C + c of pair p is
-        # row 2p+i (H is even — the mp gate requires it).
+    elif mp >= 2:
+        # Row STACKS pre-packed along channels: sublane i·C + c of stack p is
+        # row mp·p+i (mp | H — the mp gate requires it).
         xk = jnp.transpose(
-            x.reshape(b, h // 2, 2, w, c), (0, 1, 2, 4, 3)
-        ).reshape(b, h // 2, 2 * c, w)                       # [B, H/2, 2C, W]
-        xspec = pl.BlockSpec((1, h // 2, 2 * c, w), lambda bi, r: (bi, 0, 0, 0),
+            x.reshape(b, h // mp, mp, w, c), (0, 1, 2, 4, 3)
+        ).reshape(b, h // mp, mp * c, w)                     # [B, H/mp, mpC, W]
+        xspec = pl.BlockSpec((1, h // mp, mp * c, w),
+                             lambda bi, r: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     else:
         # Plain [C, W] per row for the un-packed row-sweep.
@@ -492,9 +505,9 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     return out + bias.astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def dcn_v2_onehot(x, offset, mask, weight, bias, radius: int = 4,
-                  exact: bool = True, block_rows: int = 0):
+                  exact: bool = True, block_rows: int = 0, mp_rows: int = 0):
     """One-hot MXU DCNv2 forward (see module docstring).
 
     Args match ops/dcn.py dcn_v2 (3x3 s1 p1 d1 implied). `exact=False` halves
@@ -507,16 +520,16 @@ def dcn_v2_onehot(x, offset, mask, weight, bias, radius: int = 4,
     (must divide H; 0 = auto).
     """
     return _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius, exact,
-                                block_rows)
+                                block_rows, mp_rows)
 
 
-def _fwd(x, offset, mask, weight, bias, radius, exact, block_rows):
+def _fwd(x, offset, mask, weight, bias, radius, exact, block_rows, mp_rows):
     return _dcn_onehot_fwd_impl(
-        x, offset, mask, weight, bias, radius, exact, block_rows
+        x, offset, mask, weight, bias, radius, exact, block_rows, mp_rows
     ), (x, offset, mask, weight, bias)
 
 
-def _bwd(radius, exact, block_rows, res, g):
+def _bwd(radius, exact, block_rows, mp_rows, res, g):
     # Training gradient via the exact-gather op's autodiff (the grouped
     # forward is numerically the same op). The vjp is built PER BATCH CHUNK
     # (lax.map) — a whole-batch tape of the gather op at 512² b16 needs ~8G
