@@ -15,6 +15,7 @@ completes (CLAUDE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,8 +24,14 @@ import jax
 import jax.numpy as jnp
 
 TARGET = 500.0  # images/sec/chip north star (BASELINE.md)
-CHAIN = 16      # jitted steps per dispatch (~29-47 ms tunnel RTT amortized)
-DISPATCHES = 2
+# Experiment overrides (defaults are the recorded protocol). Batch sweep on
+# v5e (NOTES_PERF round 2g): b32 397, b64 409, b128 472-476, b256 438 —
+# per-step fixed costs (op launches, small ops) amortize with batch until
+# ~b128, where HBM pressure turns the curve. b128/CHAIN=8 is the recorded
+# serving point.
+CHAIN = int(os.environ.get("BENCH_CHAIN", "8"))
+DISPATCHES = int(os.environ.get("BENCH_DISPATCHES", "2"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 
 
 def main():
@@ -32,7 +39,7 @@ def main():
     from centerpose_tpu.models import create_model
     from centerpose_tpu.ops.decode import object_pose_decode
 
-    batch = 32
+    batch = BATCH
     # Production inference config: bf16 + the Pallas one-hot MXU DCN sampler
     # (ops/dcn_onehot.py; exact for |dy| <= 4 — at init offsets are exactly 0).
     cfg = preset("centerpose", compute_dtype="bfloat16", dcn_impl="onehot")
