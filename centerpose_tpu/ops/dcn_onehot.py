@@ -333,28 +333,17 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
 
     acc = (acc * m.astype(acc_dt)).astype(w_ref.dtype)
     gw = g * w
-    out = jnp.zeros((co, gw), jnp.float32)
-    if mp >= 2:
-        # Tap-PAIR packed output conv: weights arrive as [5, 2C, Co] (taps
-        # 2t/2t+1 stacked; tap 8's high half is zero), so each dot has a full
-        # K = 2C = 128 instead of 9 half-idle K=C dots. Tap 8's rhs block is
-        # duplicated — its zero weight half ignores it.
-        for t in range(5):
-            lo_blk = acc[:, (2 * t) * gw:(2 * t + 1) * gw]
-            hi_blk = (
-                acc[:, (2 * t + 1) * gw:(2 * t + 2) * gw] if t < 4 else lo_blk
-            )
-            out = out + jax.lax.dot_general(
-                w_ref[t], jnp.concatenate([lo_blk, hi_blk], axis=0),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    else:
-        for t in range(9):
-            out = out + jax.lax.dot_general(
-                w_ref[t], acc[:, t * gw:(t + 1) * gw], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    # Single stacked output conv: taps move from lanes to sublanes with ONE
+    # 9-way concat ([9C, gw]) and contract against [9C, Co] in ONE dot —
+    # Mosaic's per-matmul fixed cost made 9 (or 5 tap-pair) small dots ~0.4
+    # µs/program of the 128² mp-path (ablation, NOTES_PERF round 2g).
+    stacked = jnp.concatenate(
+        [acc[:, t * gw:(t + 1) * gw] for t in range(9)], axis=0
+    )                                                        # [9C, gw]
+    out = jax.lax.dot_general(
+        w_ref[...], stacked, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # [Co, gw]
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
@@ -376,13 +365,13 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     # and shapes neither packing helps. nr must divide H: take the largest
     # divisor <= 128//W (non-power-of-two heights from keep-res still pack).
     nr = 1
-    if not exact:
+    if not exact and not mp_rows:  # mp_rows override forces the M-paired path
         for d in range(min(max(1, 128 // w), h), 0, -1):
             if h % d == 0:
                 nr = d
                 break
     mp = 1
-    if not exact and nr == 1 and c <= 64:
+    if not exact and nr == 1 and (mp_rows or c <= 64):
         if mp_rows:
             mp = mp_rows
             assert h % mp == 0 and mp * c <= 256, (mp, h, c)
@@ -416,16 +405,12 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     v = jnp.transpose(v, (0, 1, 4, 3, 2))                     # [b,h,3,9,w]
     v = v.reshape(b, h // g, g, 3, 9, w)
     dym = jnp.transpose(v, (0, 1, 3, 4, 2, 5)).reshape(b, h // g, 3, gs)
-    wt = weight.reshape(9, c, co).astype(x.dtype)
-    if mp >= 2:
-        # Tap pairs stacked along K for the packed output conv ([5, 2C, Co];
-        # tap 8's high half zero — see `_grouped_kernel`).
-        wt = (
-            jnp.zeros((5, 2 * c, co), wt.dtype)
-            .at[:4, :c].set(wt[0:8:2])
-            .at[:4, c:].set(wt[1:8:2])
-            .at[4, :c].set(wt[8])
-        )
+    if grouped:
+        # Grouped kernels use the single stacked out conv: [9C, Co].
+        wt = weight.reshape(9 * c, co).astype(x.dtype)
+    else:
+        # The row-sweep kernel keeps per-tap dots ([9, C, Co]).
+        wt = weight.reshape(9, c, co).astype(x.dtype)
 
     # Constant lane-decode vectors (avoids div/mod by non-power-of-2 in-kernel).
     lanes = np.arange(gs)
@@ -488,7 +473,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
             pl.BlockSpec((4, gs), lambda bi, r: (0, 0),
                          memory_space=pltpu.VMEM),
             xspec,
-            pl.BlockSpec(tuple(wt.shape), lambda bi, r: (0, 0, 0),
+            pl.BlockSpec(tuple(wt.shape), lambda bi, r: (0,) * wt.ndim,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, co, g * w), lambda bi, r: (bi, r, 0, 0),
