@@ -333,17 +333,30 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
 
     acc = (acc * m.astype(acc_dt)).astype(w_ref.dtype)
     gw = g * w
-    # Single stacked output conv: taps move from lanes to sublanes with ONE
-    # 9-way concat ([9C, gw]) and contract against [9C, Co] in ONE dot —
-    # Mosaic's per-matmul fixed cost made 9 (or 5 tap-pair) small dots ~0.4
-    # µs/program of the 128² mp-path (ablation, NOTES_PERF round 2g).
-    stacked = jnp.concatenate(
-        [acc[:, t * gw:(t + 1) * gw] for t in range(9)], axis=0
-    )                                                        # [9C, gw]
-    out = jax.lax.dot_general(
-        w_ref[...], stacked, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                        # [Co, gw]
+    if gw >= 128:
+        # Single stacked output conv: taps move from lanes to sublanes with
+        # ONE 9-way concat ([9C, gw]) and contract against [9C, Co] in ONE
+        # dot — Mosaic's per-matmul fixed cost made 9 (or 5 tap-pair) small
+        # dots ~0.4 µs/program of the 128² mp-path (ablation, round 2h).
+        stacked = jnp.concatenate(
+            [acc[:, t * gw:(t + 1) * gw] for t in range(9)], axis=0
+        )                                                    # [9C, gw]
+        out = jax.lax.dot_general(
+            w_ref[...], stacked, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [Co, gw]
+    else:
+        # gw < 128: sub-lane-width vectors make Mosaic reject the 9-way
+        # concat (vpad layout mismatch — v5e sweep round 2h); keep per-tap
+        # dots. Only reachable via keep-res heights whose divisors force a
+        # small G; production shapes all pick gw >= 128.
+        out = jnp.zeros((co, gw), jnp.float32)
+        for t in range(9):
+            out = out + jax.lax.dot_general(
+                w_ref[t * c:(t + 1) * c], acc[:, t * gw:(t + 1) * gw],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
