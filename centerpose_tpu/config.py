@@ -139,6 +139,16 @@ class CenterPoseConfig:
     # memory is not a constraint (e.g. the CPU dryrun) to save the backward
     # recompute time.
     remat_dcn: bool = True            # checkpoint + 4-image chunked DCN bwd
+    # DCN backward implementation:
+    #   'auto'     — Pallas MXU kernel backward (ops/dcn_bwd.py) on real TPUs
+    #                for supported shapes (3x3, W<=128, 8|C, 8|Co, a legal row
+    #                block); the remat+chunked autodiff elsewhere (incl. all
+    #                CPU runs — interpret-mode Pallas is a python loop). The
+    #                kernel backward needs NO remat/chunking (nothing
+    #                im2col-sized is saved).
+    #   'pallas'   — force the kernel backward (assert on unsupported shapes)
+    #   'autodiff' — always the remat+chunked gather autodiff
+    dcn_bwd: str = "auto"
     remat_stem: bool = True           # remat stem/level0/level1 (C-padded f32)
     # Inference-only: evaluate the DLA stem chain (7x7 stem + level0 + level1)
     # in space-to-depth f=2 layout (ops/s2d.py) — exact, same parameters,

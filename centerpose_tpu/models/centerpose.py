@@ -116,6 +116,7 @@ class CenterPoseNet(nn.Module):
             dcn_impl=cfg.dcn_impl,
             dcn_window_radius=cfg.dcn_window_radius,
             dcn_remat=cfg.remat_dcn,
+            dcn_bwd=cfg.dcn_bwd,
             name="dla_up",
         )(levels[FIRST_LEVEL:], train=train)
 
@@ -127,6 +128,7 @@ class CenterPoseNet(nn.Module):
             dcn_impl=cfg.dcn_impl,
             dcn_window_radius=cfg.dcn_window_radius,
             dcn_remat=cfg.remat_dcn,
+            dcn_bwd=cfg.dcn_bwd,
             name="ida_up",
         )(pyramid[: LAST_LEVEL - FIRST_LEVEL], train=train)[-1]
 

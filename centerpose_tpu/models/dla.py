@@ -299,6 +299,7 @@ class _ProjUpNode(nn.Module):
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
     dcn_remat: bool = True
+    dcn_bwd: str = "auto"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -306,7 +307,7 @@ class _ProjUpNode(nn.Module):
             x = DeformConvBlock(
                 self.features, dtype=self.dtype, dcn_impl=self.dcn_impl,
                 dcn_window_radius=self.dcn_window_radius,
-                dcn_remat=self.dcn_remat, name="proj",
+                dcn_remat=self.dcn_remat, dcn_bwd=self.dcn_bwd, name="proj",
             )(x, train)
         else:
             x = ConvBN(self.features, 1, relu=True, dtype=self.dtype, name="proj")(
@@ -318,7 +319,7 @@ class _ProjUpNode(nn.Module):
             x = DeformConvBlock(
                 self.features, dtype=self.dtype, dcn_impl=self.dcn_impl,
                 dcn_window_radius=self.dcn_window_radius,
-                dcn_remat=self.dcn_remat, name="node",
+                dcn_remat=self.dcn_remat, dcn_bwd=self.dcn_bwd, name="node",
             )(x + skip, train)
         else:
             x = ConvBN(self.features, 3, relu=True, dtype=self.dtype, name="node")(
@@ -343,6 +344,7 @@ class IDAUp(nn.Module):
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
     dcn_remat: bool = True
+    dcn_bwd: str = "auto"
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
@@ -355,7 +357,7 @@ class IDAUp(nn.Module):
                 dtype=self.dtype,
                 dcn_impl=self.dcn_impl,
                 dcn_window_radius=self.dcn_window_radius,
-                dcn_remat=self.dcn_remat,
+                dcn_remat=self.dcn_remat, dcn_bwd=self.dcn_bwd,
                 name=f"stage_{i}",
             )(layers[i], out[i - 1], train)
             out.append(merged)
@@ -375,6 +377,7 @@ class DLAUp(nn.Module):
     dcn_impl: str = "gather"
     dcn_window_radius: int = 4
     dcn_remat: bool = True
+    dcn_bwd: str = "auto"
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):

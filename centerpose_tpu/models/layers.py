@@ -246,6 +246,25 @@ class Tree(nn.Module):
         return out
 
 
+def _batch_chunked(fn, x, offset, mask):
+    """Apply fn(x, offset, mask) in DCN_GRAD_CHUNK-image batch chunks via
+    lax.map (when the batch divides); bounds the per-layer im2col/backward
+    transients the way the reference CUDA op's per-image loop does."""
+    bsz, chunk = x.shape[0], DCN_GRAD_CHUNK
+    if bsz > chunk and bsz % chunk == 0:
+        n = bsz // chunk
+        out = jax.lax.map(
+            lambda t: fn(*t),
+            (
+                x.reshape(n, chunk, *x.shape[1:]),
+                offset.reshape(n, chunk, *offset.shape[1:]),
+                mask.reshape(n, chunk, *mask.shape[1:]),
+            ),
+        )
+        return out.reshape(bsz, *out.shape[2:])
+    return fn(x, offset, mask)
+
+
 class DeformConvBlock(nn.Module):
     """DCNv2 (offset/mask from a zero-init conv) + BN + ReLU.
 
@@ -259,6 +278,7 @@ class DeformConvBlock(nn.Module):
     dcn_impl: str = "gather"          # 'gather' (exact) | 'onehot' (MXU fast path)
     dcn_window_radius: int = 4
     dcn_remat: bool = True            # checkpoint+chunk the gather bwd (cfg.remat_dcn)
+    dcn_bwd: str = "auto"             # 'auto'|'pallas'|'autodiff' (cfg.dcn_bwd)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -305,26 +325,55 @@ class DeformConvBlock(nn.Module):
             # extra — gathers are latency-bound either way).
             wc = weight.astype(self.dtype)
             bc = bias.astype(self.dtype)
-            dcn = lambda x_, o_, m_: dcn_v2(x_, o_, m_, wc, bc)
-            # Only the TRAINING forward needs the memory bound; the serving
-            # forward keeps the whole-batch gather (no grad, no residuals).
-            use_remat = self.dcn_remat and train
-            if use_remat:
-                dcn = jax.checkpoint(dcn)
-            bsz, chunk = x.shape[0], DCN_GRAD_CHUNK
-            if use_remat and bsz > chunk and bsz % chunk == 0:
-                n = bsz // chunk
-                out = jax.lax.map(
-                    lambda t: dcn(*t),
-                    (
-                        x.reshape(n, chunk, *x.shape[1:]),
-                        offset.reshape(n, chunk, *offset.shape[1:]),
-                        mask.reshape(n, chunk, *mask.shape[1:]),
-                    ),
+            kernel_bwd = False
+            # 'auto' engages only on real TPUs: on CPU the kernels run in
+            # Pallas interpret mode (a per-program python loop — the 512²
+            # dryrun would take hours). 'pallas' forces it anywhere (tests).
+            want_kernel = self.dcn_bwd == "pallas" or (
+                self.dcn_bwd == "auto" and jax.default_backend() != "cpu"
+            )
+            if train and want_kernel:
+                # Pallas MXU kernel backward (ops/dcn_bwd.py): the autodiff
+                # VJP of the gather forward is scatter-bound (measured 191 ms
+                # fwd+vjp per 128² C64 b16 layer vs ~14 ms for the kernels'
+                # matmuls) AND im2col-residual-hungry (the reason remat +
+                # 4-image chunking exist). The kernels save only (x, offset,
+                # mask) and need neither.
+                from centerpose_tpu.ops.dcn_bwd import (
+                    dcn_bwd_supported,
+                    dcn_v2_kgrad,
                 )
-                x = out.reshape(bsz, *out.shape[2:])
-            else:
-                x = dcn(x, offset, mask)
+
+                supported = dcn_bwd_supported(
+                    x.shape, (3, 3, x.shape[-1], self.features),
+                    itemsize=jnp.dtype(self.dtype).itemsize,
+                )
+                if self.dcn_bwd == "pallas":
+                    assert supported, (x.shape, self.features)
+                if supported:
+                    kernel_bwd = True
+                    # Chunked too: the kernels save only (x, offset, mask),
+                    # but the gather FORWARD's whole-batch [B·HW·9, 4C] f32
+                    # im2col transient alone re-OOMed the 512² b16 step
+                    # (measured +515M over HBM); per-chunk it's 4x smaller.
+                    # The backward kernels run per chunk with the same total
+                    # program count.
+                    kfn = lambda x_, o_, m_: dcn_v2_kgrad(
+                        x_, o_, m_, wc, bc, None
+                    )
+                    x = _batch_chunked(kfn, x, offset, mask)
+            if not kernel_bwd:
+                dcn = lambda x_, o_, m_: dcn_v2(x_, o_, m_, wc, bc)
+                # Only the TRAINING forward needs the memory bound; the
+                # serving forward keeps the whole-batch gather (no grad, no
+                # residuals).
+                use_remat = self.dcn_remat and train
+                if use_remat:
+                    dcn = jax.checkpoint(dcn)
+                if use_remat:
+                    x = _batch_chunked(dcn, x, offset, mask)
+                else:
+                    x = dcn(x, offset, mask)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,

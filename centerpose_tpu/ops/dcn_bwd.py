@@ -1,0 +1,469 @@
+"""Pallas TPU kernels: the DCNv2 backward pass as MXU matmuls (3x3 s1 p1 d1).
+
+Why: the training step was drowning in the autodiff backward of the gather
+forward (ops/dcn.py). The VJP of a gather is a SCATTER-ADD, which XLA TPU
+serializes row by row; the measured full-model train step spent ~40x the
+forward cost in backward (NOTES_PERF round 2f/2i). Every term of the DCNv2
+VJP can instead ride the MXU with the same on-the-fly one-hot selectors the
+forward uses (ops/dcn_onehot.py), with NO gathers and NO scatters.
+
+Semantics parity target: the gradient of the reference CUDA backward
+(src/lib/models/networks/DCNv2/src/cuda/dcn_v2_cuda.cu — col2im for d_input,
+`get_coordinate_weight` corner differences for d_offset, modulated-col dots
+for d_mask/d_weight), which equals jax.vjp of the bilinear gather forward.
+tests/test_dcn_bwd.py cross-checks every term against jax.vjp(dcn_v2).
+
+Math (per program = one (batch item, block of G output rows); samples s live
+tap-major on lanes, lane = t·GW + row_in_block·W + w, GS = G·9·W; x', r index
+input columns/rows; hat(u) = max(0, 1-|u|)):
+
+  forward:  samp[c, s] = Σ_r hatY(r,s) · (x[r] @ hatX)[c, s],  out = Σ_t Wtᵀ(m·samp)
+  gs[c, s]  = (Wstk @ g_out) rearranged       # grad wrt samples, pre-mask
+  dX[r]    += (hatY_r ∘ (m·gs)) @ hatXᵀ       # scatter-as-matmul, accumulated
+                                              # into a VMEM-resident [H, C, W]
+                                              # output block revisited across
+                                              # the row-block grid dimension
+  pg_r      = x[r] @ gs                       # [W, GS] — x[r] is the natural
+                                              # NHWC row, no transpose needed
+  Q         = Σ_r hatY_r · pg_r               # then, at program end:
+  dF        = Σ_r dyh_r · pg_r                #   d_mask = Σ_x' hatX ∘ Q
+  dyh_r     = (r == y0+1) - (r == y0)         #   d_px   = m · Σ_x' dxh ∘ Q
+  dxh[x',s] = (x' == x0+1) - (x' == x0)       #   d_py   = m · Σ_x' hatX ∘ dF
+  dW       += stack_t(m·samp) @ g_outᵀ        # [9C, GW] x [GW, Co], resident
+                                              # accumulator over ALL programs
+
+The corner-difference derivatives (dyh/dxh) match autodiff of the gather
+forward exactly, INCLUDING integer offsets (where the hat function's
+subgradient would be 0 but the one-sided corner derivative v1 - v0 is not) —
+zero-initialized offset convs start training at exactly-integer positions.
+Out-of-image corners contribute 0 to every term (their rows/columns fall
+outside the loop/iota range), matching the zero-padded gather.
+
+Three lean kernels instead of one (VMEM: each needs a different resident x
+layout or none at all; together they exceed the 16M scoped budget at 128²):
+  _dx_kernel     — no x at all; needs the TRANSPOSED selector hatXᵀ [GS, W]
+                   (px arrives on sublanes via a [GS, 1] side input).
+  _dcoord_kernel — x in natural NHWC (pg_r = x[r] @ gs is already [W,C]x[C,GS]).
+  _dw_kernel     — x as [H, C, W] (bx_r = x[r] @ hatX re-runs the forward row).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from centerpose_tpu.ops.dcn import dcn_v2
+from centerpose_tpu.ops.dcn_onehot import _lane_idx, _pack_dym, _unpack_dym
+
+_VMEM_BUDGET = 14 * 1024 * 1024
+# The block-G picker's VMEM models are calibrated approximations; raise the
+# hard Mosaic scoped-vmem limit well above them so a model miss costs perf
+# (a smaller-than-optimal G) instead of a compile failure (the default 16M
+# limit rejected _dcoord at 128² bf16 G=2 by 168K).
+_VMEM_LIMIT = 64 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _common(dym_ref, idx_ref, rb, g: int, h: int):
+    """Shared per-program sample coordinates: (py_clipped, y0, fy, m, dx)."""
+    dy = dym_ref[0, 0, 0:1]
+    dx = dym_ref[0, 0, 1:2]
+    m = dym_ref[0, 0, 2:3]
+    row_in_blk = idx_ref[0:1, :]
+    t_row = idx_ref[1:2, :]
+    py = (rb * g - 1).astype(jnp.float32) + row_in_blk + t_row + dy
+    pyc = jnp.clip(py, -2.0, float(h + 1))
+    y0 = jnp.floor(pyc)
+    fy = pyc - y0
+    return pyc, y0, fy, m, dx
+
+
+def _xhat_lanes(idx_ref, dx, w: int, gs: int):
+    """hatX [W, GS] f32 (x' on sublanes, samples on lanes) + x0 = floor(px)."""
+    t_col = idx_ref[2:3, :]
+    w_pos = idx_ref[3:4, :]
+    px = (w_pos - 1.0) + t_col + dx
+    pxc = jnp.clip(px, -2.0, float(w + 1))
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0).astype(jnp.float32)
+    xhat = jnp.maximum(1.0 - jnp.abs(rows_f - pxc), 0.0)
+    return xhat, rows_f, jnp.floor(pxc)
+
+
+def _gs_lanes(w_ref, g_ref, m, c: int, co: int, g: int, w: int, dt,
+              masked: bool):
+    """gs [C, GS] = grad wrt (pre-mask) samples, tap-major lanes.
+
+    One stacked matmul [9C, Co] x [Co, GW] then a 9-way lane concat of the
+    sublane tap slices (C is a multiple of 8, GW of 128 — both layout-legal).
+    """
+    gw = g * w
+    gstk = jax.lax.dot_general(
+        w_ref[...], g_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # [9C, GW] f32
+    gs = jnp.concatenate([gstk[t * c:(t + 1) * c] for t in range(9)], axis=1)
+    if masked:
+        gs = gs * m
+    return gs.astype(dt)
+
+
+def _dx_kernel(dym_ref, idx_ref, pxt_ref, g_ref, w_ref, out_ref, *,
+               h: int, w: int, c: int, co: int, g: int):
+    """dX[r] += (hatY_r ∘ m·gs) @ hatXᵀ, accumulated into the revisited
+    [1, H, C, W] f32 output block (zeroed once per batch item)."""
+    rb = pl.program_id(1)
+
+    @pl.when(rb == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    gs = g * 9 * w
+    pyc, y0, fy, m, dx = _common(dym_ref, idx_ref, rb, g, h)
+    dt = g_ref.dtype
+    gm = _gs_lanes(w_ref, g_ref, m, c, co, g, w, dt, masked=True)
+
+    # Transposed selector hatXᵀ [GS, W]: px on SUBLANES via the [GS, 1] side
+    # input (a lane→sublane transpose in-kernel would relayout; the side input
+    # is 9 KB of HBM and XLA builds it for free).
+    lanes_x = jax.lax.broadcasted_iota(jnp.int32, (gs, w), 1).astype(
+        jnp.float32
+    )
+    pxt = jnp.clip(pxt_ref[0, 0], -2.0, float(w + 1))        # [GS, 1]
+    xhat_t = jnp.maximum(1.0 - jnp.abs(lanes_x - pxt), 0.0).astype(dt)
+
+    lo = jnp.clip(jnp.min(y0), 0.0, float(h)).astype(jnp.int32)
+    hi = jnp.clip(
+        jnp.max(y0 + jnp.where(fy > 0.0, 2.0, 1.0)), 0.0, float(h)
+    ).astype(jnp.int32)
+    hi = jnp.maximum(hi, lo)
+
+    def body(r, _):
+        yh = jnp.maximum(1.0 - jnp.abs(pyc - r.astype(jnp.float32)), 0.0)
+        upd = jax.lax.dot_general(
+            (yh.astype(dt) * gm), xhat_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [C, W]
+        out_ref[0, r] = out_ref[0, r] + upd.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(lo, hi, body, 0)
+
+
+def _dcoord_kernel(dym_ref, idx_ref, x_ref, g_ref, w_ref, out_ref, *,
+                   h: int, w: int, c: int, co: int, g: int):
+    """d_py / d_px / d_mask, one [1, 1, 3, GS] block per program (mirrors the
+    dym input layout; the caller un-packs)."""
+    rb = pl.program_id(1)
+    gs = g * 9 * w
+    pyc, y0, fy, m, dx = _common(dym_ref, idx_ref, rb, g, h)
+    xhat, lanes, x0 = _xhat_lanes(idx_ref, dx, w, gs)
+    dt = x_ref.dtype
+    gsv = _gs_lanes(w_ref, g_ref, m, c, co, g, w, dt, masked=False)
+
+    # dyh needs row y0+1 even at fy == 0 (one-sided corner derivative), so the
+    # upper bound is max(y0)+2 unconditionally — unlike the forward's bound.
+    lo = jnp.clip(jnp.min(y0), 0.0, float(h)).astype(jnp.int32)
+    hi = jnp.clip(jnp.max(y0) + 2.0, 0.0, float(h)).astype(jnp.int32)
+    hi = jnp.maximum(hi, lo)
+
+    def body(r, carry):
+        q, df = carry
+        pg = jax.lax.dot_general(
+            x_ref[0, r], gsv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [W, GS]
+        rf = r.astype(jnp.float32)
+        yh = jnp.maximum(1.0 - jnp.abs(pyc - rf), 0.0)
+        dyh = (y0 == rf - 1.0).astype(jnp.float32) - (y0 == rf).astype(
+            jnp.float32
+        )
+        return q + yh * pg, df + dyh * pg
+
+    zero = jnp.zeros((w, gs), jnp.float32)
+    q, df = jax.lax.fori_loop(lo, hi, body, (zero, zero))
+
+    dxh = (lanes == x0 + 1.0).astype(jnp.float32) - (lanes == x0).astype(
+        jnp.float32
+    )
+    dpx = jnp.sum(dxh * q, axis=0, keepdims=True) * m
+    dpy = jnp.sum(xhat * df, axis=0, keepdims=True) * m
+    dmask = jnp.sum(xhat * q, axis=0, keepdims=True)
+    out_ref[0, 0] = jnp.concatenate([dpy, dpx, dmask], axis=0).astype(
+        out_ref.dtype
+    )
+
+
+def _dw_kernel(dym_ref, idx_ref, xk_ref, gt_ref, out_ref, *,
+               h: int, w: int, c: int, co: int, g: int):
+    """dW += stack_t(m·samp) @ g_outᵀ into a [9C, Co] f32 block resident
+    across ALL programs (samp re-runs the forward row loop)."""
+    bi = pl.program_id(0)
+    rb = pl.program_id(1)
+
+    @pl.when((bi == 0) & (rb == 0))
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    gs = g * 9 * w
+    gw = g * w
+    pyc, y0, fy, m, dx = _common(dym_ref, idx_ref, rb, g, h)
+    xhat, _, _ = _xhat_lanes(idx_ref, dx, w, gs)
+    dt = xk_ref.dtype
+    xhat_d = xhat.astype(dt)
+
+    lo = jnp.clip(jnp.min(y0), 0.0, float(h)).astype(jnp.int32)
+    hi = jnp.clip(
+        jnp.max(y0 + jnp.where(fy > 0.0, 2.0, 1.0)), 0.0, float(h)
+    ).astype(jnp.int32)
+    hi = jnp.maximum(hi, lo)
+
+    def body(r, samp):
+        bx = jax.lax.dot_general(
+            xk_ref[0, r], xhat_d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [C, GS]
+        yh = jnp.maximum(1.0 - jnp.abs(pyc - r.astype(jnp.float32)), 0.0)
+        return samp + yh * bx
+
+    samp = jax.lax.fori_loop(lo, hi, body, jnp.zeros((c, gs), jnp.float32))
+    sampm = (samp * m).astype(dt)
+    stacked = jnp.concatenate(
+        [sampm[:, t * gw:(t + 1) * gw] for t in range(9)], axis=0
+    )                                                        # [9C, GW]
+    out_ref[...] = out_ref[...] + jax.lax.dot_general(
+        stacked, gt_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _pick_bwd_block_rows(h: int, w: int, c: int, co: int, itemsize: int,
+                         kernel: str) -> int:
+    """Largest row block G with G | H, G·W a lane multiple (the 9-way
+    concats require >= 128), and the kernel's live VMEM within budget.
+    Returns 0 when no legal G exists (caller falls back to autodiff).
+
+    The models are calibrated against Mosaic's scoped-vmem report on v5e:
+    _dcoord at 128² C64 f32 measured 16.07M (G=1) / 16.20M (G=2) — the
+    resident x block is effectively ~3x-buffered, and the [W, GS] f32 loop
+    buffers share stack slots across live ranges (~3.2 live at the peak).
+    """
+    kmin = max(1, (128 + w - 1) // w)
+    for mult in (4, 2, 1):
+        g = kmin * mult
+        if g > h or h % g or (g * w) % 128:
+            continue
+        gs = g * 9 * w
+        gw = g * w
+        if kernel == "coord":
+            live = (
+                3 * h * w * c * itemsize          # resident x, ~3x-buffered
+                + 13 * w * gs                     # ~3.2 [W, GS] f32 at peak
+                + c * gs * itemsize
+                + 9 * c * gw * 4
+                + 2 * co * gw * 4
+            )
+        elif kernel == "dx":
+            live = (
+                2 * h * c * w * 4                 # dX accumulator + writeback
+                + gs * w * itemsize               # hatXᵀ
+                + 3 * c * gs * 4                  # gm + loop temps
+                + 2 * gs * 128 * 4                # pxt [GS, 1] lane padding
+                + 9 * c * gw * 4
+                + 9 * c * co * 4
+            )
+        else:                                     # 'dw'
+            live = (
+                3 * h * c * w * itemsize          # resident x, ~3x-buffered
+                + gs * w * (itemsize + 4)
+                + 2 * c * gs * 4                  # samp f32 + carry copy
+                + c * gs * itemsize
+                + 9 * c * gw * itemsize
+                + 2 * gw * co * 4
+                + 2 * 9 * c * co * 4
+            )
+        if live <= _VMEM_BUDGET:
+            return g
+    return 0
+
+
+def _pick_all(h, w, c, co, itemsize, block_rows=0):
+    if block_rows:
+        if h % block_rows or (block_rows * w) % 128:
+            return 0, 0, 0
+        return block_rows, block_rows, block_rows
+    return (
+        _pick_bwd_block_rows(h, w, c, co, itemsize, "dx"),
+        _pick_bwd_block_rows(h, w, c, co, itemsize, "coord"),
+        _pick_bwd_block_rows(h, w, c, co, itemsize, "dw"),
+    )
+
+
+def dcn_bwd_supported(x_shape, w_shape, block_rows: int = 0,
+                      itemsize: int = 4) -> int:
+    """Returns a representative row block G (>0 iff every kernel has a legal
+    block), or 0 if the shapes are unsupported. Mirrors `dcn_v2_grads`'s
+    operand-dtype resolution: f32 primals compute with bf16 operands on TPU
+    (see there), so the gate sizes VMEM with the effective itemsize."""
+    b, h, w, c = x_shape
+    kh, kw, _, co = w_shape
+    if (kh, kw) != (3, 3) or w > 128 or c % 8 or co % 8:
+        return 0
+    if itemsize == 4 and jax.default_backend() != "cpu":
+        itemsize = 2
+    gs = _pick_all(h, w, c, co, itemsize, block_rows)
+    return min(gs) if all(gs) else 0
+
+
+def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
+                 compute_dtype=None):
+    """All five DCNv2 cotangents via the Pallas kernels (no gather/scatter).
+
+    Args mirror ops/dcn.py dcn_v2 (3x3 s1 p1 d1 implied); `dout` is the
+    cotangent of the output [B, H, W, Co]. `compute_dtype` optionally casts
+    the matmul operands (e.g. bf16 for f32 training inputs — the f32
+    accumulators keep the reductions exact). Returns (dx, doffset, dmask,
+    dweight, dbias) in the primal dtypes.
+    """
+    b, h, w, c = x.shape
+    co = weight.shape[3]
+    interp = jax.default_backend() == "cpu"
+    if compute_dtype is not None:
+        dt = jnp.dtype(compute_dtype)
+    elif interp or x.dtype != jnp.float32:
+        dt = x.dtype
+    else:
+        # On TPU, f32 MXU operands are bf16-quantized by default precision
+        # anyway (measured: kernel-vs-autodiff rel err 2.6e-3 either way), and
+        # f32 residents push the 128² kernels past the 16M scoped-vmem limit
+        # (measured 16.07M at G=1) — so f32 primals compute with bf16 operands
+        # + f32 accumulators. CPU (interpret) keeps f32: the parity tests
+        # assert tight agreement there.
+        dt = jnp.dtype(jnp.bfloat16)
+    g_dx, g_co, g_dw = _pick_all(h, w, c, co, dt.itemsize, block_rows)
+    assert g_dx and g_co and g_dw, (x.shape, weight.shape, block_rows, dt)
+    offf = offset.astype(jnp.float32)
+    maskf = mask.astype(jnp.float32)
+    wstk = weight.reshape(9 * c, co).astype(dt)
+    xd = x.astype(dt)
+    w_spec = pl.BlockSpec((9 * c, co), lambda bi, r: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def prep(g):
+        """Per-row-block-G packs: (dym, idx, g_blk) + the block specs."""
+        gw, gs = g * w, g * 9 * w
+        dym = _pack_dym(offf, maskf, g)
+        idx = jnp.asarray(_lane_idx(g, w))
+        gnc = jnp.transpose(dout, (0, 1, 3, 2)).astype(dt)   # [B, H, Co, W]
+        g_blk = jnp.transpose(
+            gnc.reshape(b, h // g, g, co, w), (0, 1, 3, 2, 4)
+        ).reshape(b, h // g, co, gw)                         # [B,H/G,Co,GW]
+        dym_spec = pl.BlockSpec((1, 1, 3, gs), lambda bi, r: (bi, r, 0, 0),
+                                memory_space=pltpu.VMEM)
+        idx_spec = pl.BlockSpec((4, gs), lambda bi, r: (0, 0),
+                                memory_space=pltpu.VMEM)
+        g_spec = pl.BlockSpec((1, 1, co, gw), lambda bi, r: (bi, r, 0, 0),
+                              memory_space=pltpu.VMEM)
+        return dym, idx, g_blk, dym_spec, idx_spec, g_spec
+
+    # --- dX ---
+    g = g_dx
+    gw, gs = g * w, g * 9 * w
+    dym, idx, g_blk, dym_spec, idx_spec, g_spec = prep(g)
+    lanes = np.arange(gs)
+    px_base = ((lanes % w) - 1 + (lanes // (g * w)) % 3).astype(np.float32)
+    pxt = (dym[:, :, 1] + jnp.asarray(px_base))[..., None]   # [B, H/G, GS, 1]
+    dx_t = pl.pallas_call(
+        partial(_dx_kernel, h=h, w=w, c=c, co=co, g=g),
+        grid=(b, h // g),
+        in_specs=[
+            dym_spec, idx_spec,
+            pl.BlockSpec((1, 1, gs, 1), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            g_spec, w_spec,
+        ],
+        out_specs=pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, c, w), jnp.float32),
+        interpret=interp,
+        compiler_params=_COMPILER_PARAMS,
+    )(dym, idx, pxt, g_blk, wstk)
+    dx = jnp.transpose(dx_t, (0, 1, 3, 2)).astype(x.dtype)
+
+    # --- d_offset / d_mask ---
+    g = g_co
+    gw, gs = g * w, g * 9 * w
+    dym, idx, g_blk, dym_spec, idx_spec, g_spec = prep(g)
+    dcoord = pl.pallas_call(
+        partial(_dcoord_kernel, h=h, w=w, c=c, co=co, g=g),
+        grid=(b, h // g),
+        in_specs=[
+            dym_spec, idx_spec,
+            pl.BlockSpec((1, h, w, c), lambda bi, r: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            g_spec, w_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, 3, gs), lambda bi, r: (bi, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h // g, 3, gs), jnp.float32),
+        interpret=interp,
+        compiler_params=_COMPILER_PARAMS,
+    )(dym, idx, xd, g_blk, wstk)
+    dpy, dpx, dmask = _unpack_dym(dcoord, h, w, g)           # [B,H,W,9] each
+    doffset = jnp.stack([dpy, dpx], axis=-1).reshape(b, h, w, 18).astype(
+        offset.dtype
+    )
+
+    # --- dW ---
+    g = g_dw
+    gw, gs = g * w, g * 9 * w
+    dym, idx, _, dym_spec, idx_spec, _ = prep(g)
+    gt_blk = dout.astype(dt).reshape(b, h // g, gw, co)      # [B,H/G,GW,Co]
+    xk = jnp.transpose(xd, (0, 1, 3, 2))                     # [B, H, C, W]
+    dw = pl.pallas_call(
+        partial(_dw_kernel, h=h, w=w, c=c, co=co, g=g),
+        grid=(b, h // g),
+        in_specs=[dym_spec, idx_spec,
+                  pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, gw, co), lambda bi, r: (bi, r, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((9 * c, co), lambda bi, r: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * c, co), jnp.float32),
+        interpret=interp,
+        compiler_params=_COMPILER_PARAMS,
+    )(dym, idx, xk, gt_blk)
+    dweight = dw.reshape(3, 3, c, co).astype(weight.dtype)
+
+    dbias = jnp.sum(dout, axis=(0, 1, 2)).astype(bias.dtype)
+    return dx, doffset, dmask.astype(mask.dtype), dweight, dbias
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def dcn_v2_kgrad(x, offset, mask, weight, bias, compute_dtype=None):
+    """Exact-gather DCNv2 forward with the Pallas kernel backward.
+
+    Numerically the same function as ops/dcn.py dcn_v2; only the VJP differs
+    (MXU kernels instead of autodiff's scatter-adds). Training path for
+    supported shapes — callers gate on `dcn_bwd_supported`.
+    """
+    return dcn_v2(x, offset, mask, weight, bias, stride=1, padding=1,
+                  dilation=1)
+
+
+def _kgrad_fwd(x, offset, mask, weight, bias, compute_dtype):
+    out = dcn_v2(x, offset, mask, weight, bias, stride=1, padding=1,
+                 dilation=1)
+    return out, (x, offset, mask, weight, bias)
+
+
+def _kgrad_bwd(compute_dtype, res, dout):
+    return dcn_v2_grads(*res, dout, compute_dtype=compute_dtype)
+
+
+dcn_v2_kgrad.defvjp(_kgrad_fwd, _kgrad_bwd)

@@ -360,6 +360,44 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
+def _pack_dym(offset, mask, g: int):
+    """Fold per-sample (dy, dx, mask) into tap-major lanes: one [B, H/G, 3, GS]
+    tensor with lane = t·GW + row_in_block·W + w and dy/dx/mask stacked on
+    sublanes (ONE block DMA per program). Shared by the forward kernels and
+    the Pallas backward (ops/dcn_bwd.py)."""
+    b, h, w, _ = mask.shape
+    gs = g * 9 * w
+    off = offset.reshape(b, h, w, 9, 2)
+    v = jnp.stack([off[..., 0], off[..., 1], mask], axis=-1)  # [b,h,w,9,3]
+    v = jnp.transpose(v, (0, 1, 4, 3, 2))                     # [b,h,3,9,w]
+    v = v.reshape(b, h // g, g, 3, 9, w)
+    return jnp.transpose(v, (0, 1, 3, 4, 2, 5)).reshape(b, h // g, 3, gs)
+
+
+def _unpack_dym(packed, h: int, w: int, g: int):
+    """Inverse of `_pack_dym`: [B, H/G, 3, GS] → ([B,H,W,9] dy, dx, mask)."""
+    b = packed.shape[0]
+    v = packed.reshape(b, h // g, 3, 9, g, w)
+    v = jnp.transpose(v, (0, 1, 4, 2, 3, 5)).reshape(b, h, 3, 9, w)
+    v = jnp.transpose(v, (0, 1, 4, 3, 2))                     # [b,h,w,9,3]
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def _lane_idx(g: int, w: int) -> np.ndarray:
+    """Constant lane-decode rows [4, GS] f32: (row_in_block, tap_row, tap_col,
+    out_column) per tap-major lane (avoids div/mod by non-power-of-2
+    in-kernel)."""
+    gs = g * 9 * w
+    lanes = np.arange(gs)
+    taps = lanes // (g * w)
+    return np.stack([
+        (lanes % (g * w)) // w,
+        taps // 3,
+        taps % 3,
+        lanes % w,
+    ]).astype(np.float32)
+
+
 def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
                          exact: bool = True, block_rows: int = 0,
                          mp_rows: int = 0):
@@ -413,11 +451,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
     # program independent of G), with dy/dx/mask STACKED on sublanes into one
     # [B, H/G, 3, GS] input (one block DMA per program instead of three) via a
     # single stack + transpose chain. All reshapes happen here in XLA.
-    off = offset.reshape(b, h, w, 9, 2)
-    v = jnp.stack([off[..., 0], off[..., 1], mask], axis=-1)  # [b,h,w,9,3]
-    v = jnp.transpose(v, (0, 1, 4, 3, 2))                     # [b,h,3,9,w]
-    v = v.reshape(b, h // g, g, 3, 9, w)
-    dym = jnp.transpose(v, (0, 1, 3, 4, 2, 5)).reshape(b, h // g, 3, gs)
+    dym = _pack_dym(offset, mask, g)
     if grouped:
         # Grouped kernels use the single stacked out conv: [9C, Co].
         wt = weight.reshape(9 * c, co).astype(x.dtype)
@@ -426,16 +460,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         wt = weight.reshape(9, c, co).astype(x.dtype)
 
     # Constant lane-decode vectors (avoids div/mod by non-power-of-2 in-kernel).
-    lanes = np.arange(gs)
-    taps = lanes // (g * w)
-    idx = jnp.asarray(
-        np.stack([
-            (lanes % (g * w)) // w,  # row within the block
-            taps // 3,               # tap row i
-            taps % 3,                # tap col j
-            lanes % w,               # output column
-        ]).astype(np.float32)
-    )                                                        # [4, GS]
+    idx = jnp.asarray(_lane_idx(g, w))                       # [4, GS]
 
     if exact:
         # [x>>1 | x] channel-concat: channels [:C] of column x' hold column
@@ -528,12 +553,22 @@ def _fwd(x, offset, mask, weight, bias, radius, exact, block_rows, mp_rows):
 
 
 def _bwd(radius, exact, block_rows, mp_rows, res, g):
-    # Training gradient via the exact-gather op's autodiff (the grouped
-    # forward is numerically the same op). The vjp is built PER BATCH CHUNK
-    # (lax.map) — a whole-batch tape of the gather op at 512² b16 needs ~8G
-    # of [B·HW, 4C] f32 transients per layer and OOMs a single v5e; chunking
-    # mirrors the reference CUDA backward's per-image loop.
+    # Preferred: the Pallas MXU kernel backward (ops/dcn_bwd.py) — no
+    # gathers/scatters, no im2col residuals, no chunking needed.
     x, offset, mask, weight, bias = res
+    from centerpose_tpu.ops.dcn_bwd import dcn_bwd_supported, dcn_v2_grads
+
+    # Only on real TPUs: on CPU the kernels would run in Pallas interpret
+    # mode (per-program python loops); the chunked autodiff below is the
+    # CPU/parity path.
+    if jax.default_backend() != "cpu" and dcn_bwd_supported(
+            x.shape, weight.shape, itemsize=x.dtype.itemsize):
+        return dcn_v2_grads(x, offset, mask, weight, bias, g)
+    # Fallback: the exact-gather op's autodiff (the grouped forward is
+    # numerically the same op). The vjp is built PER BATCH CHUNK (lax.map) —
+    # a whole-batch tape of the gather op at 512² b16 needs ~8G of
+    # [B·HW, 4C] f32 transients per layer and OOMs a single v5e; chunking
+    # mirrors the reference CUDA backward's per-image loop.
     b = x.shape[0]
     chunk = DCN_GRAD_CHUNK
 

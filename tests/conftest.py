@@ -10,9 +10,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices share ONE core here: threads can reach a collective
+    # rendezvous minutes apart on the real-shape (512²) train step, and XLA
+    # CPU's default 40 s termination timeout abort()s the process
+    # (rendezvous.cc "Exiting to ensure a consistent program state").
+    # (the matching warn_stuck flag is not registered in this jaxlib — the
+    # 20 s "may be stuck" warnings remain, harmless)
+    flags = flags + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402  (import after env setup)
