@@ -158,6 +158,14 @@ def centerpose_loss(
     train = phase == "train"
     per: Dict[str, jnp.ndarray] = {}
 
+    # Mixed-precision training (compute_dtype=bfloat16) emits bf16 heads; the
+    # focal log/exp and the tiny head tensors are cheap in f32 — cast here so
+    # the loss (and its cotangents into the net) are always f32-accumulated.
+    outputs = {
+        k: v.astype(jnp.float32) if hasattr(v, "astype") else v
+        for k, v in outputs.items()
+    }
+
     hm = _sigmoid_clamped(outputs["hm"])
     per["hm_loss"] = focal_loss(hm, batch["hm"])
 

@@ -131,6 +131,48 @@ def test_bf16_compute_dtype_close():
         )
 
 
+def test_deform_conv_block_pallas_bwd_matches_autodiff():
+    # layers.py wiring: dcn_bwd='pallas' forces the kernel backward through
+    # DeformConvBlock (interpret mode on CPU); grads must match the
+    # 'autodiff' path on the same params/batch.
+    import flax.linen as nn
+
+    from centerpose_tpu.models.layers import DeformConvBlock
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 8, 16, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 8, 16, 8).astype(np.float32))
+
+    def build(dcn_bwd):
+        return DeformConvBlock(features=8, dcn_bwd=dcn_bwd)
+
+    params = build("autodiff").init(jax.random.PRNGKey(0), x, True)
+
+    def loss(variables, mode):
+        out, _ = build(mode).apply(
+            variables, x, True, mutable=["batch_stats"]
+        )
+        return jnp.sum(out * g)
+
+    # Perturb the offset conv so the DCN samples off-integer positions.
+    import jax.tree_util as jtu
+
+    params = jtu.tree_map(
+        lambda v: v + 0.05 * np.random.RandomState(3).randn(*v.shape).astype(
+            v.dtype
+        ),
+        params,
+    )
+    g_ref = jax.grad(loss)(params, "autodiff")
+    g_pal = jax.grad(loss)(params, "pallas")
+    flat_r, _ = jtu.tree_flatten(g_ref)
+    flat_p, _ = jtu.tree_flatten(g_pal)
+    for r, p in zip(flat_r, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(r), rtol=5e-4, atol=5e-4
+        )
+
+
 def test_unsupported_shapes_report_zero():
     assert dcn_bwd_supported((1, 8, 200, 8), (3, 3, 8, 8)) == 0   # W > 128
     assert dcn_bwd_supported((1, 8, 16, 6), (3, 3, 6, 8)) == 0    # C % 8

@@ -56,6 +56,11 @@ def parse_args():
              "v5e; bilinear weights bf16-quantized, <=2^-9 relative)",
     )
     p.add_argument(
+        "--compute_dtype", choices=("float32", "bfloat16"), default="float32",
+        help="mixed-precision training: bf16 compute with f32 params/"
+             "optimizer/loss (b16 512² v5e: 493 -> 396 ms/step with onehot)",
+    )
+    p.add_argument(
         "--debug", type=int, default=0,
         help=">0 saves the reference's pred/GT debug canvases for the first "
              "batch of every epoch to exp/.../debug/ "
@@ -95,6 +100,7 @@ def main():
         seed=args.seed,
         dcn_bwd=args.dcn_bwd,
         dcn_impl=args.dcn_impl,
+        compute_dtype=args.compute_dtype,
     )
     if args.num_epochs:
         cfg = cfg.replace(num_epochs=args.num_epochs)
