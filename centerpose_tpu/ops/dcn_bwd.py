@@ -253,7 +253,12 @@ def _pick_bwd_block_rows(h: int, w: int, c: int, co: int, itemsize: int,
     buffers share stack slots across live ranges (~3.2 live at the peak).
     """
     kmin = max(1, (128 + w - 1) // w)
-    for mult in (4, 2, 1):
+    # Measured on v5e (b16 bf16-operand sweep, NOTES_PERF round 2j): the
+    # SMALLEST lane-legal block wins except at w=128 where G=2 edges G=1 —
+    # larger blocks pay more in vreg pressure than they save in programs
+    # (64²: G=2 11.63 ms vs the old max-G pick 13.20; 32²: G=4 6.79 vs 7.33).
+    prefs = (2, 1, 4) if kmin == 1 else (1, 2, 4)
+    for mult in prefs:
         g = kmin * mult
         if g > h or h % g or (g * w) % 128:
             continue
