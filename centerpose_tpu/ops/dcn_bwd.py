@@ -67,6 +67,9 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 # limit rejected _dcoord at 128² bf16 G=2 by 168K).
 _VMEM_LIMIT = 64 * 1024 * 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+# The fused kernel holds both x layouts + the dX accumulator resident; its
+# model budget leaves pipelining headroom under the raised hard limit.
+_VMEM_BUDGET_FUSED = 44 * 1024 * 1024
 
 
 def _common(dym_ref, idx_ref, rb, g: int, h: int):
@@ -241,6 +244,93 @@ def _dw_kernel(dym_ref, idx_ref, xk_ref, gt_ref, out_ref, *,
     ).astype(out_ref.dtype)
 
 
+def _fused_kernel(dym_ref, idx_ref, pxt_ref, x_ref, xk_ref, g_ref, gt_ref,
+                  w_ref, dx_ref, dc_ref, dw_ref, *,
+                  h: int, w: int, c: int, co: int, g: int):
+    """All three backward computations in ONE program: the per-program fixed
+    work (gs build, selector builds, coordinate decode, the row loop's
+    machinery) is shared instead of paid 3x. Needs BOTH x layouts resident
+    ([H, W, C] for pg, [H, C, W] for bx) — legal under the raised 64M scoped
+    vmem. The shared row loop uses the dcoord bound (max(y0)+2, one-sided
+    corner derivative); the extra row at fy == 0 contributes yh == 0 to the
+    dX/dW terms, matching the split kernels exactly."""
+    bi = pl.program_id(0)
+    rb = pl.program_id(1)
+
+    @pl.when(rb == 0)
+    def _():
+        dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
+
+    @pl.when((bi == 0) & (rb == 0))
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    gs = g * 9 * w
+    gw = g * w
+    pyc, y0, fy, m, dxo = _common(dym_ref, idx_ref, rb, g, h)
+    xhat, lanes, x0 = _xhat_lanes(idx_ref, dxo, w, gs)
+    dt = x_ref.dtype
+    xhat_d = xhat.astype(dt)
+    gsv = _gs_lanes(w_ref, g_ref, m, c, co, g, w, dt, masked=False)
+    gm = (gsv.astype(jnp.float32) * m).astype(dt)
+
+    lanes_x = jax.lax.broadcasted_iota(jnp.int32, (gs, w), 1).astype(
+        jnp.float32
+    )
+    pxt = jnp.clip(pxt_ref[0, 0], -2.0, float(w + 1))        # [GS, 1]
+    xhat_t = jnp.maximum(1.0 - jnp.abs(lanes_x - pxt), 0.0).astype(dt)
+
+    lo = jnp.clip(jnp.min(y0), 0.0, float(h)).astype(jnp.int32)
+    hi = jnp.clip(jnp.max(y0) + 2.0, 0.0, float(h)).astype(jnp.int32)
+    hi = jnp.maximum(hi, lo)
+
+    def body(r, carry):
+        q, df, samp = carry
+        rf = r.astype(jnp.float32)
+        yh = jnp.maximum(1.0 - jnp.abs(pyc - rf), 0.0)
+        dyh = (y0 == rf - 1.0).astype(jnp.float32) - (y0 == rf).astype(
+            jnp.float32
+        )
+        pg = jax.lax.dot_general(
+            x_ref[0, r], gsv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [W, GS]
+        bx = jax.lax.dot_general(
+            xk_ref[0, r], xhat_d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [C, GS]
+        upd = jax.lax.dot_general(
+            (yh.astype(dt) * gm), xhat_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [C, W]
+        dx_ref[0, r] = dx_ref[0, r] + upd.astype(dx_ref.dtype)
+        return q + yh * pg, df + dyh * pg, samp + yh * bx
+
+    zero_w = jnp.zeros((w, gs), jnp.float32)
+    q, df, samp = jax.lax.fori_loop(
+        lo, hi, body, (zero_w, zero_w, jnp.zeros((c, gs), jnp.float32))
+    )
+
+    dxh = (lanes == x0 + 1.0).astype(jnp.float32) - (lanes == x0).astype(
+        jnp.float32
+    )
+    dpx = jnp.sum(dxh * q, axis=0, keepdims=True) * m
+    dpy = jnp.sum(xhat * df, axis=0, keepdims=True) * m
+    dmask = jnp.sum(xhat * q, axis=0, keepdims=True)
+    dc_ref[0, 0] = jnp.concatenate([dpy, dpx, dmask], axis=0).astype(
+        dc_ref.dtype
+    )
+
+    sampm = (samp * m).astype(dt)
+    stacked = jnp.concatenate(
+        [sampm[:, t * gw:(t + 1) * gw] for t in range(9)], axis=0
+    )                                                        # [9C, GW]
+    dw_ref[...] = dw_ref[...] + jax.lax.dot_general(
+        stacked, gt_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw_ref.dtype)
+
+
 def _pick_bwd_block_rows(h: int, w: int, c: int, co: int, itemsize: int,
                          kernel: str) -> int:
     """Largest row block G with G | H, G·W a lane multiple (the 9-way
@@ -264,7 +354,21 @@ def _pick_bwd_block_rows(h: int, w: int, c: int, co: int, itemsize: int,
             continue
         gs = g * 9 * w
         gw = g * w
-        if kernel == "coord":
+        if kernel == "fused":
+            live = (
+                3 * h * w * c * itemsize          # resident x NHWC
+                + 3 * h * c * w * itemsize        # resident x [H, C, W]
+                + 2 * h * c * w * 4               # dX accumulator + writeback
+                + 16 * w * gs                     # q/df/pg f32 at peak
+                + 4 * c * gs * 4                  # samp/bx f32
+                + 3 * c * gs * itemsize           # gsv/gm/sampm
+                + 2 * gs * w * itemsize           # xhat_d + xhat_t
+                + 2 * gs * 128 * 4                # pxt lane padding
+                + 9 * c * gw * 4
+                + 2 * 9 * c * co * 4
+                + 2 * co * gw * 4
+            )
+        elif kernel == "coord":
             live = (
                 3 * h * w * c * itemsize          # resident x, ~3x-buffered
                 + 13 * w * gs                     # ~3.2 [W, GS] f32 at peak
@@ -291,7 +395,8 @@ def _pick_bwd_block_rows(h: int, w: int, c: int, co: int, itemsize: int,
                 + 2 * gw * co * 4
                 + 2 * 9 * c * co * 4
             )
-        if live <= _VMEM_BUDGET:
+        budget = _VMEM_BUDGET_FUSED if kernel == "fused" else _VMEM_BUDGET
+        if live <= budget:
             return g
     return 0
 
@@ -375,13 +480,72 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
                               memory_space=pltpu.VMEM)
         return dym, idx, g_blk, dym_spec, idx_spec, g_spec
 
+    def pxt_of(dym, g):
+        gs = g * 9 * w
+        lanes = np.arange(gs)
+        px_base = ((lanes % w) - 1 + (lanes // (g * w)) % 3).astype(np.float32)
+        return (dym[:, :, 1] + jnp.asarray(px_base))[..., None]
+
+    if block_rows:
+        # Forced block: use it for the fused kernel too (sweep escape hatch;
+        # the 64M hard limit still rejects truly infeasible blocks).
+        g_f = block_rows
+    else:
+        g_f = _pick_bwd_block_rows(h, w, c, co, dt.itemsize, "fused")
+    if g_f:
+        # --- fused: one program computes dX, d_offset/d_mask and dW ---
+        g = g_f
+        gw, gs = g * w, g * 9 * w
+        dym, idx, g_blk, dym_spec, idx_spec, g_spec = prep(g)
+        pxt = pxt_of(dym, g)
+        gt_blk = dout.astype(dt).reshape(b, h // g, gw, co)  # [B,H/G,GW,Co]
+        xk = jnp.transpose(xd, (0, 1, 3, 2))                 # [B, H, C, W]
+        dx_t, dcoord, dw = pl.pallas_call(
+            partial(_fused_kernel, h=h, w=w, c=c, co=co, g=g),
+            grid=(b, h // g),
+            in_specs=[
+                dym_spec, idx_spec,
+                pl.BlockSpec((1, 1, gs, 1), lambda bi, r: (bi, r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, w, c), lambda bi, r: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                g_spec,
+                pl.BlockSpec((1, 1, gw, co), lambda bi, r: (bi, r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                w_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 3, gs), lambda bi, r: (bi, r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9 * c, co), lambda bi, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, c, w), jnp.float32),
+                jax.ShapeDtypeStruct((b, h // g, 3, gs), jnp.float32),
+                jax.ShapeDtypeStruct((9 * c, co), jnp.float32),
+            ],
+            interpret=interp,
+            compiler_params=_COMPILER_PARAMS,
+        )(dym, idx, pxt, xd, xk, g_blk, gt_blk, wstk)
+        dx = jnp.transpose(dx_t, (0, 1, 3, 2)).astype(x.dtype)
+        dpy, dpx, dmask = _unpack_dym(dcoord, h, w, g)
+        doffset = jnp.stack([dpy, dpx], axis=-1).reshape(b, h, w, 18).astype(
+            offset.dtype
+        )
+        dweight = dw.reshape(3, 3, c, co).astype(weight.dtype)
+        dbias = jnp.sum(dout, axis=(0, 1, 2)).astype(bias.dtype)
+        return dx, doffset, dmask.astype(mask.dtype), dweight, dbias
+
     # --- dX ---
     g = g_dx
     gw, gs = g * w, g * 9 * w
     dym, idx, g_blk, dym_spec, idx_spec, g_spec = prep(g)
-    lanes = np.arange(gs)
-    px_base = ((lanes % w) - 1 + (lanes // (g * w)) % 3).astype(np.float32)
-    pxt = (dym[:, :, 1] + jnp.asarray(px_base))[..., None]   # [B, H/G, GS, 1]
+    pxt = pxt_of(dym, g)                                     # [B, H/G, GS, 1]
     dx_t = pl.pallas_call(
         partial(_dx_kernel, h=h, w=w, c=c, co=co, g=g),
         grid=(b, h // g),
