@@ -430,7 +430,7 @@ def dcn_bwd_supported(x_shape, w_shape, block_rows: int = 0,
 
 
 def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
-                 compute_dtype=None):
+                 compute_dtype=None, fused=None):
     """All five DCNv2 cotangents via the Pallas kernels (no gather/scatter).
 
     Args mirror ops/dcn.py dcn_v2 (3x3 s1 p1 d1 implied); `dout` is the
@@ -486,7 +486,9 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
         px_base = ((lanes % w) - 1 + (lanes // (g * w)) % 3).astype(np.float32)
         return (dym[:, :, 1] + jnp.asarray(px_base))[..., None]
 
-    if block_rows:
+    if fused is False:
+        g_f = 0                     # force the split kernels (tests/sweeps)
+    elif block_rows:
         # Forced block: use it for the fused kernel too (sweep escape hatch;
         # the 64M hard limit still rejects truly infeasible blocks).
         g_f = block_rows

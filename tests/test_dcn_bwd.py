@@ -49,6 +49,7 @@ def _ref_grads(x, off, m, wt, bi, g):
     return vjp(g)
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize(
     "b,h,w,c,co,off_scale,integer",
     [
@@ -59,13 +60,13 @@ def _ref_grads(x, off, m, wt, bi, g):
         (1, 12, 24, 16, 8, 1.2, False),     # non-pow2 H/W (g=6, gw=144) - skip
     ],
 )
-def test_grads_match_autodiff(b, h, w, c, co, off_scale, integer):
+def test_grads_match_autodiff(b, h, w, c, co, off_scale, integer, fused):
     if dcn_bwd_supported((b, h, w, c), (3, 3, c, co)) == 0:
         pytest.skip("shape unsupported by the kernel backward")
     rng = np.random.RandomState(hash((b, h, w, c, co)) % 2**31)
     x, off, m, wt, bi, g = _inputs(rng, b, h, w, c, co, off_scale, integer)
     ref = _ref_grads(x, off, m, wt, bi, g)
-    got = dcn_v2_grads(x, off, m, wt, bi, g)
+    got = dcn_v2_grads(x, off, m, wt, bi, g, fused=fused)
     for name, r, k in zip(NAMES, ref, got):
         np.testing.assert_allclose(
             np.asarray(k), np.asarray(r), rtol=2e-4, atol=2e-4,
