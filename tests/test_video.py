@@ -1,0 +1,135 @@
+"""Pure-python video container round-trips (no ffmpeg in this image).
+
+Covers the cv2.VideoCapture surface of the reference demo
+(/root/reference/src/demo.py:33) for the two ffmpeg-free containers:
+MJPEG-in-AVI (write_mjpeg_avi <-> MJPEGAVIReader) and YUV4MPEG2.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from centerpose_tpu.data.video import (
+    MJPEGAVIReader,
+    Y4MReader,
+    open_video,
+    write_mjpeg_avi,
+)
+
+
+def _frames(n=4, h=48, w=64, seed=0):
+    rng = np.random.RandomState(seed)
+    # Smooth frames: JPEG is lossy; gradients survive quantization well.
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for i in range(n):
+        base = (yy * 2 + xx + i * 13) % 256
+        fr = np.stack([base, 255 - base, np.full_like(base, 40 + 10 * i)], -1)
+        out.append(fr.astype(np.uint8))
+    return out
+
+
+class TestMJPEGAVI:
+    def test_roundtrip(self, tmp_path):
+        frames = _frames()
+        path = os.path.join(tmp_path, "clip.avi")
+        write_mjpeg_avi(path, frames, fps=12.0, quality=95)
+        reader = MJPEGAVIReader(path)
+        assert len(reader) == len(frames)
+        assert reader.fps == pytest.approx(12.0, rel=1e-3)
+        decoded = list(reader)
+        for orig, dec in zip(frames, decoded):
+            assert dec.shape == orig.shape
+            assert np.mean(np.abs(dec.astype(int) - orig.astype(int))) < 8.0
+
+    def test_open_video_dispatch(self, tmp_path):
+        path = os.path.join(tmp_path, "clip.avi")
+        write_mjpeg_avi(path, _frames(2), fps=10.0)
+        reader = open_video(path)
+        assert isinstance(reader, MJPEGAVIReader)
+        assert len(list(reader)) == 2
+
+    def test_rejects_non_avi(self, tmp_path):
+        path = os.path.join(tmp_path, "junk.avi")
+        with open(path, "wb") as f:
+            f.write(b"not a riff file at all")
+        with pytest.raises(ValueError):
+            MJPEGAVIReader(path)
+
+
+def _write_y4m(path, frames_yuv, w, h, mode="420", fps=(15, 1)):
+    with open(path, "wb") as f:
+        cs = {"420": b"C420jpeg", "444": b"C444", "mono": b"Cmono"}[mode]
+        f.write(
+            b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, fps[0], fps[1], cs)
+        )
+        for planes in frames_yuv:
+            f.write(b"FRAME\n")
+            for p in planes:
+                f.write(p.astype(np.uint8).tobytes())
+
+
+class TestY4M:
+    def test_gray_roundtrip(self, tmp_path):
+        # Flat gray: Y=128, U=V=128 decodes to RGB ~(130,130,130) under
+        # BT.601 limited range; exactness within rounding.
+        h, w = 32, 48
+        y = np.full((h, w), 128, np.uint8)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        path = os.path.join(tmp_path, "clip.y4m")
+        _write_y4m(path, [(y, u, v)] * 3, w, h, "420")
+        reader = open_video(path)
+        assert isinstance(reader, Y4MReader)
+        assert reader.fps == pytest.approx(15.0)
+        frames = list(reader)
+        assert len(frames) == 3
+        assert frames[0].shape == (h, w, 3)
+        assert np.all(np.abs(frames[0].astype(int) - 130) <= 1)
+
+    def test_primary_colors(self, tmp_path):
+        # BT.601 limited-range encodings of pure red/green/blue.
+        h, w = 16, 16
+        cases = {
+            (255, 0, 0): (81, 90, 240),
+            (0, 255, 0): (145, 54, 34),
+            (0, 0, 255): (41, 240, 110),
+        }
+        for rgb, (yv, uv, vv) in cases.items():
+            path = os.path.join(tmp_path, "c.y4m")
+            y = np.full((h, w), yv, np.uint8)
+            u = np.full((h // 2, w // 2), uv, np.uint8)
+            v = np.full((h // 2, w // 2), vv, np.uint8)
+            _write_y4m(path, [(y, u, v)], w, h, "420")
+            (frame,) = list(Y4MReader(path))
+            got = frame[0, 0].astype(int)
+            assert np.all(np.abs(got - np.array(rgb)) <= 12), (rgb, got)
+
+    def test_mono(self, tmp_path):
+        h, w = 8, 8
+        y = np.arange(64, dtype=np.uint8).reshape(h, w)
+        path = os.path.join(tmp_path, "m.y4m")
+        _write_y4m(path, [(y,)], w, h, "mono")
+        (frame,) = list(Y4MReader(path))
+        assert frame.shape == (h, w, 3)
+        assert np.all(frame[..., 0] == frame[..., 1])
+
+
+class TestDemoVideoPath:
+    def test_detector_over_avi(self, tmp_path):
+        """demo.py's video branch end-to-end on a synthesized AVI."""
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.inference.detector import Detector
+
+        path = os.path.join(tmp_path, "clip.avi")
+        write_mjpeg_avi(path, _frames(2, h=96, w=128), fps=10.0)
+        cfg = preset(
+            "centerpose", input_h=64, input_w=64, K=8, category="shoe",
+            vis_thresh=0.0,
+        )
+        det = Detector(cfg)
+        for frame in open_video(path):
+            out = det.run(frame)
+            assert "results" in out
