@@ -38,6 +38,9 @@ def main():
     from centerpose_tpu.config import preset
     from centerpose_tpu.models import create_model
     from centerpose_tpu.ops.decode import object_pose_decode
+    from centerpose_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     batch = BATCH
     # Production inference config: bf16 + the Pallas one-hot MXU DCN sampler

@@ -31,3 +31,9 @@ jax.config.update("jax_platforms", "cpu")
 # Deterministic fp32 numerics for parity tests (JAX's default matmul precision
 # uses bfloat16 passes; the env-var spelling is not read by this JAX version).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: repeat test sessions skip recompiling the
+# unchanged (often minutes-long on this 1-core host) jitted programs.
+from centerpose_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
