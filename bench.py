@@ -30,7 +30,9 @@ TARGET = 500.0  # images/sec/chip north star (BASELINE.md)
 # ~b128, where HBM pressure turns the curve. b128/CHAIN=8 is the recorded
 # serving point.
 CHAIN = int(os.environ.get("BENCH_CHAIN", "8"))
-DISPATCHES = int(os.environ.get("BENCH_DISPATCHES", "2"))
+# 4 timed dispatches (4096 images, ~35 s of chip time) — 2 was a small sample
+# for the recorded artifact (VERDICT r2 weak #7).
+DISPATCHES = int(os.environ.get("BENCH_DISPATCHES", "4"))
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 
 

@@ -38,6 +38,71 @@ FLIP_IDX = ((1, 5), (3, 7), (2, 6), (4, 8))
 
 NUM_JOINTS = 8  # cuboid corners; center is implicit
 
+# Per-category dimension statistics (means row 0, stds row 1): columns are
+# [w, h, d, w/h, d/h]. Embedded dataset metadata from the reference
+# (`src/lib/opts.py:443-489`) — drives the `use_residual` scale representation
+# where the 'scale' head predicts log-residuals against the category mean
+# (`src/lib/models/losses.py:165-172`). The mug row exists because cup splits
+# into cup/mug sub-models (`opts.py:411`).
+DIMENSION_REF: Mapping[str, Tuple[Tuple[float, ...], Tuple[float, ...]]] = {
+    "bike": (
+        (0.65320896, 1.021797894, 1.519635599, 0.6520559199, 1.506392621),
+        (0.1179380561, 0.176747817, 0.2981715678, 0.1667947895, 0.3830536275),
+    ),
+    "book": (
+        (0.225618019, 0.03949624326, 0.1625821624, 7.021850281, 5.064694187),
+        (0.1687487664, 0.07391230822, 0.06436673199, 3.59629568, 2.723290812),
+    ),
+    "bottle": (
+        (0.07889784977450116, 0.24127451915330908, 0.0723714257114412,
+         0.33644069262302545, 0.3091134992864717),
+        (0.02984649578071775, 0.06381390122918497, 0.03088144838560917,
+         0.11052240441921059, 0.13327627592012867),
+    ),
+    "camera": (
+        (0.11989848700326843, 0.08226238775595619, 0.09871718158089632,
+         1.507216484439368, 1.1569407159290284),
+        (0.021177290310316968, 0.02158788017191602, 0.055673710278419844,
+         0.28789183678046854, 0.5342094080365904),
+    ),
+    "cereal_box": (
+        (0.19202754401417296, 0.2593114001714919, 0.07723794925413519,
+         0.7542602699204104, 0.29441151268928173),
+        (0.08481640897407464, 0.09999915952084068, 0.09495429981036707,
+         0.19829004029411457, 0.2744797990483879),
+    ),
+    "chair": (
+        (0.5740664085137888, 0.8434027515832329, 0.6051523831888338,
+         0.6949691013776601, 0.7326891354260606),
+        (0.12853104253707456, 0.14852086453095492, 0.13428881418587957,
+         0.16897092539619352, 0.18636134566748525),
+    ),
+    "cup": (
+        (0.08587637391801063, 0.12025228955138188, 0.08486836104868696,
+         0.7812126934904675, 0.7697895244331658),
+        (0.05886805978497525, 0.06794896438246326, 0.05875681990718713,
+         0.2887038681446475, 0.283821205157399),
+    ),
+    "mug": (
+        (0.14799136566553112, 0.09729087667918128, 0.08845449667169905,
+         1.3875694883045138, 1.0224997119392225),
+        (1.0488828523223728, 0.2552672927963539, 0.039095350310480705,
+         0.3947832854104711, 0.31089415283872546),
+    ),
+    "laptop": (
+        (0.33685059747485196, 0.1528068814247063, 0.2781020624738614,
+         35.920214652427696, 23.941173992376903),
+        (0.03529983948867832, 0.07017080198389423, 0.0665823136876069,
+         391.915687801732, 254.21325950495455),
+    ),
+    "shoe": (
+        (0.10308848289662519, 0.10932616184503478, 0.2611737789760352,
+         1.0301976264129833, 2.6157393112424328),
+        (0.02274768925924402, 0.044958380226590516, 0.04589720205423542,
+         0.3271000267177176, 0.8460337534776092),
+    ),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class CenterPoseConfig:
@@ -63,7 +128,18 @@ class CenterPoseConfig:
     # --- task ------------------------------------------------------------------
     category: str = "shoe"
     num_symmetry: int = 1             # 12 for bottle/cup training
+    # Cup splits into cup/mug sub-models (README.md:61): mug=True trains/serves
+    # the non-symmetric mug sub-category — it selects the mug samples in the
+    # dataset (dataset_combined.py:568-569), disables the 12-fold cup symmetry
+    # (dataset_combined.py:361), and switches dimension_ref to the mug row
+    # (opts.py:411). Evaluation of category 'cup' runs BOTH sub-models and
+    # routes per sample (eval_image_official.py:166-226; evaluate.py --mug_model).
     mug: bool = False
+    # Residual scale representation (opts.py:408-420 + losses.py:165-172):
+    # the 'scale' head predicts log-residuals against the per-category mean
+    # (DIMENSION_REF); the loss decodes pred = exp(pred) * dimension_ref.
+    use_residual: bool = False
+    use_absolute_scale: bool = False  # absolute [w,h,d] ref vs height-relative
     tracking_task: bool = False       # CenterPoseTrack (pre_img/pre_hm/pre_hm_hp stems)
 
     # --- decode / inference ------------------------------------------------------
@@ -176,6 +252,21 @@ class CenterPoseConfig:
         return 127 if "hourglass" in self.arch else 31
 
     @property
+    def dimension_ref(self) -> Optional[Tuple[float, float, float]]:
+        """Residual-scale reference dims, or None when use_residual is off.
+
+        Mirrors opts.py:408-420: cup+mug uses the mug statistics; absolute
+        mode returns the mean [w, h, d], relative mode [w/h, 1, d/h].
+        """
+        if not self.use_residual:
+            return None
+        key = "mug" if (self.category == "cup" and self.mug) else self.category
+        means = DIMENSION_REF[key][0]
+        if self.use_absolute_scale:
+            return (means[0], means[1], means[2])
+        return (means[3], 1.0, means[4])
+
+    @property
     def use_conv_gru(self) -> bool:
         # dlav1 == DLA + DCN + convGRU chained heads (pose_dla_dcn.py:583-590);
         # the tracking model also uses convGRU with a 4th step.
@@ -237,6 +328,13 @@ def preset(name: str, **overrides) -> CenterPoseConfig:
         )
     else:
         raise ValueError(f"unknown preset: {name!r}")
-    if overrides.get("category") in SYMMETRIC_CATEGORIES and "num_symmetry" not in overrides:
+    # Symmetric categories train with 12-fold rotational GT symmetry — except
+    # the mug sub-model of cup, which is NOT symmetric (dataset_combined.py:361:
+    # the symmetry block requires `c == 'cup' and mug == False`).
+    if (
+        overrides.get("category") in SYMMETRIC_CATEGORIES
+        and "num_symmetry" not in overrides
+        and not overrides.get("mug", False)
+    ):
         overrides["num_symmetry"] = 12
     return cfg.replace(**overrides)

@@ -70,6 +70,10 @@ class GroundTruthInstance:
     rotation: np.ndarray      # [3, 3] object→camera
     translation: np.ndarray   # [3]
     visibility: float = 1.0
+    # Cup category only: per-instance mug flag from the hand relabel lists
+    # (parser.py:157-185). With eval_mug_symmetric=False, matched mugs skip
+    # the rotation-symmetry sweep (eval_image_official.py:712-715, 784-787).
+    mug: Optional[bool] = None
 
 
 def parse_gt_json(path: str) -> Tuple[List[GroundTruthInstance], Optional[tuple], dict]:
@@ -120,13 +124,22 @@ def compute_plane_scale(box9_3d: np.ndarray, plane: tuple) -> float:
 class Evaluator:
     """Accumulates hit/miss records over a detector's predictions."""
 
-    def __init__(self, config: CenterPoseConfig, eval_num_symmetry: Optional[int] = None):
+    def __init__(
+        self,
+        config: CenterPoseConfig,
+        eval_num_symmetry: Optional[int] = None,
+        eval_mug_symmetric: bool = True,
+    ):
         self.cfg = config
         if eval_num_symmetry is None:
             eval_num_symmetry = (
                 100 if config.category in SYMMETRIC_CATEGORIES else 1
             )  # shell_eval defaults for symmetric categories
         self.eval_num_symmetry = eval_num_symmetry
+        # Objectron's paper treats mugs as symmetric for fair comparison
+        # (eval_image_official.py:1259-1260 defaults True); False restricts
+        # the rotation sweep to 1 for mug instances.
+        self.eval_mug_symmetric = eval_mug_symmetric
         self.hm: Dict[str, HitMiss] = {
             f: HitMiss(_THRESH[f]) for f in _FAMILIES
         }
@@ -185,12 +198,20 @@ class Evaluator:
                 s = compute_plane_scale(pts3d_scaled, plane)
                 pts3d_scaled = pts3d_scaled * s
 
+            # Matched mugs skip the rotation sweep when mugs are treated as
+            # non-symmetric (eval_image_official.py:712-715, 784-787).
+            n_sym = (
+                1
+                if (not self.eval_mug_symmetric and gt.mug)
+                else self.eval_num_symmetry
+            )
+
             # Oriented boxes for IoU.
             box_pred = OrientedBox.from_corners_fit(pts3d_scaled[1:])
             box_gt = OrientedBox(
                 rotation=gt.rotation, translation=gt.translation, scale=gt.scale
             )
-            iou = iou_with_symmetry_sweep(box_pred, box_gt, self.eval_num_symmetry)
+            iou = iou_with_symmetry_sweep(box_pred, box_gt, n_sym)
             self.hm["iou3d"].record_hit_miss(iou, conf, greater=True)
 
             mo2c = np.eye(4)
@@ -198,7 +219,7 @@ class Evaluator:
             mo2c[:3, 3] = gt.translation
             pix = pixel_error_2d(
                 proj9, gt.kps_2d_norm,
-                num_symmetry=self.eval_num_symmetry,
+                num_symmetry=n_sym,
                 kps_gt_3d=gt.kps_3d_cam,
                 Mo2c=mo2c,
             )
@@ -206,7 +227,7 @@ class Evaluator:
 
             az, po = azimuth_polar_error(
                 box_pred.rotation, gt.rotation,
-                num_symmetry=self.eval_num_symmetry,
+                num_symmetry=n_sym,
                 t_pred=box_pred.translation, t_gt=gt.translation,
             )
             self.hm["azimuth"].record_hit_miss(az, conf, greater=False)
@@ -420,27 +441,50 @@ def evaluate_tfrecords(
     mobilepose_postprocess: bool = False,
     gt_scale: bool = False,
     init_detector=None,
+    detector_mug=None,
+    relabel=None,
+    mug_only: Optional[bool] = None,
+    eval_mug_symmetric: bool = True,
 ) -> Evaluator:
     """Objectron tfrecord evaluation path (eval_image_official.py:1186-1211 /
     eval_video_official.py Dataloader), using the native TFRecord reader
     (centerpose_tpu/data/tfrecord.py) instead of tf.data.
 
     init_detector: a CenterPose IMAGE-model detector used to seed the tracker
-    on each video's first frame when ablation.centerpose_init is set (MODE_5)."""
+    on each video's first frame when ablation.centerpose_init is set (MODE_5).
+
+    Cup/mug dual-model path (eval_image_official.py:166-226,297-346): for
+    category 'cup', `detector_mug` holds the MUG sub-model and `detector` the
+    (12-fold-symmetric) CUP sub-model; each sample's GT is relabeled by the
+    hand lists (`relabel`: a RelabelLists), routed to one of the two
+    detectors, and optionally filtered by `mug_only` (True = only mug
+    samples, False = only cup samples, None = all)."""
     import io
 
     from PIL import Image
 
     from centerpose_tpu.data.tfrecord import parse_objectron_example, read_tfrecord
+    from centerpose_tpu.evaluation.relabel import (
+        RelabelLists,
+        mug_only_skip,
+        route_mug_detector,
+    )
 
-    evaluator = Evaluator(config, eval_num_symmetry)
+    evaluator = Evaluator(config, eval_num_symmetry, eval_mug_symmetric)
     ablation = ablation or EvalAblation()
+    is_cup = config.category == "cup"
+    if is_cup and relabel is None:
+        relabel = RelabelLists.resolve()  # $CENTERPOSE_LABEL_DIR, may be None
+    if is_cup and relabel is None:
+        relabel = RelabelLists()  # empty lists: everything is a mug
     rng = np.random.RandomState(0)
     count = 0
     prev_boxes = []
     for ridx, path in enumerate(record_paths):
         if is_video:
             detector.reset_tracking()
+            if detector_mug is not None:
+                detector_mug.reset_tracking()
             prev_boxes = []
         for fidx, payload in enumerate(read_tfrecord(path)):
             if max_images and count >= max_images:
@@ -451,18 +495,37 @@ def evaluate_tfrecords(
             img = np.asarray(Image.open(io.BytesIO(ex["image_bytes"])).convert("RGB"))
             h, w = img.shape[:2]
 
+            n_inst = ex["num_instances"]
+            pts2d = [np.asarray(ex["points_2d"][i], np.float64)[:9] for i in range(n_inst)]
+            pts3d = [np.asarray(ex["points_3d"][i], np.float64)[:9] for i in range(n_inst)]
+            rots = np.asarray(ex["rotations"], np.float64).copy()
+
+            mug_flags = None
+            active = detector
+            if is_cup:
+                video_name = str(ex.get("filename", "")).replace("/", "_")
+                p2 = np.stack(pts2d)
+                p3 = np.stack(pts3d)
+                mug_flags = relabel.apply_mug_relabel(video_name, p2, p3, rots)
+                pts2d = [p2[i] for i in range(n_inst)]
+                pts3d = [p3[i] for i in range(n_inst)]
+                if mug_only_skip(mug_flags, mug_only):
+                    continue
+                if route_mug_detector(mug_flags) and detector_mug is not None:
+                    active = detector_mug
+
             instances = []
-            vis = ex.get("visibilities", np.ones(ex["num_instances"]))
-            for i in range(ex["num_instances"]):
-                kps2d = np.asarray(ex["points_2d"][i], np.float64)[:9]
+            vis = ex.get("visibilities", np.ones(n_inst))
+            for i in range(n_inst):
                 instances.append(
                     GroundTruthInstance(
-                        kps_2d_norm=kps2d,
-                        kps_3d_cam=np.asarray(ex["points_3d"][i], np.float64)[:9],
+                        kps_2d_norm=pts2d[i],
+                        kps_3d_cam=pts3d[i],
                         scale=np.abs(np.asarray(ex["scales"][i], np.float64)),
-                        rotation=np.asarray(ex["rotations"][i], np.float64),
+                        rotation=rots[i],
                         translation=np.asarray(ex["translations"][i], np.float64),
                         visibility=float(vis[i]) if i < len(vis) else 1.0,
+                        mug=bool(mug_flags[i]) if mug_flags is not None else None,
                     )
                 )
             input_meta = {}
@@ -489,14 +552,14 @@ def evaluate_tfrecords(
             if ablation.fake_output and fidx > 0:
                 boxes = prev_boxes  # pipeline null test: reuse previous frame
             else:
-                out = detector.run(img, input_meta or None)
+                out = active.run(img, input_meta or None)
                 boxes = out["boxes"]
             prev_boxes = boxes
             cam = input_meta.get("camera_matrix")
             if mobilepose_postprocess and cam is not None:
                 boxes = _mobilepose_lift_boxes(boxes, cam, w, h)
             re_pnp = (
-                _make_gt_scale_re_pnp(detector, cam, w, h)
+                _make_gt_scale_re_pnp(active, cam, w, h)
                 if gt_scale and cam is not None
                 else None
             )

@@ -104,13 +104,19 @@ def dcn_v2_psroi_pooling(
         + gw[None, None, :]
     )  # [O, P, P]
 
+    def _round_c(v):
+        # C round(): half away from zero (dcn_v2_psroi_pooling_cuda.cu uses
+        # round() on the ROI corners); jnp.round is half-to-even and differs
+        # on exact .5 coordinates.
+        return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+
     def pool_one(roi, tr):
         b = roi[0].astype(jnp.int32)
         x1, y1, x2, y2 = roi[1], roi[2], roi[3], roi[4]
-        roi_start_w = jnp.round(x1) * spatial_scale - 0.5
-        roi_start_h = jnp.round(y1) * spatial_scale - 0.5
-        roi_end_w = (jnp.round(x2) + 1.0) * spatial_scale - 0.5
-        roi_end_h = (jnp.round(y2) + 1.0) * spatial_scale - 0.5
+        roi_start_w = _round_c(x1) * spatial_scale - 0.5
+        roi_start_h = _round_c(y1) * spatial_scale - 0.5
+        roi_end_w = (_round_c(x2) + 1.0) * spatial_scale - 0.5
+        roi_end_h = (_round_c(y2) + 1.0) * spatial_scale - 0.5
         roi_w = jnp.maximum(roi_end_w - roi_start_w, 0.1)
         roi_h = jnp.maximum(roi_end_h - roi_start_h, 0.1)
         bin_w = roi_w / P

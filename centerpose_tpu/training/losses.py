@@ -37,6 +37,10 @@ class CenterPoseLossConfig:
     obj_scale_uncertainty: bool = False
     kl_scale_uncertainty: float = 0.01
     kl_kps_uncertainty: float = 0.01
+    # Residual scale representation (losses.py:165-172 + opts.py:408-420):
+    # when set, the train-phase L1 scale loss decodes pred = exp(pred) * ref
+    # before comparing against the GT scale target.
+    dimension_ref: Tuple[float, float, float] | None = None
 
 
 def focal_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
@@ -84,9 +88,16 @@ def reg_l1_loss(
     ind: jnp.ndarray,
     target: jnp.ndarray,
     relative: bool = False,
+    dimension_ref: Tuple[float, float, float] | None = None,
 ) -> jnp.ndarray:
-    """RegL1Loss (losses.py:156-179): mask [B,S,M], target [B,S,M,D] → [B,S]."""
+    """RegL1Loss (losses.py:156-179): mask [B,S,M], target [B,S,M,D] → [B,S].
+
+    dimension_ref: the use_residual representation (losses.py:165-172) — the
+    head predicts log-residuals; decode pred = exp(pred) * ref before the L1.
+    """
     pred = gather_by_ind(feat_map, ind)
+    if dimension_ref is not None and not relative:
+        pred = jnp.exp(pred) * jnp.asarray(dimension_ref, pred.dtype)
     m = mask[..., None].astype(pred.dtype)
     if relative:
         tr = jnp.where(target == 0, 1e-6, target)
@@ -200,12 +211,15 @@ def centerpose_loss(
                 cfg.kl_scale_uncertainty,
             )
         else:
+            # use_residual applies only on the train-phase plain-L1 branch
+            # (trains/object_pose.py:111-117); val keeps the relative loss.
             per["obj_scale_loss"] = reg_l1_loss(
                 outputs["scale"],
                 batch["reg_mask"],
                 batch["ind"],
                 batch["scale"],
                 relative=not train,
+                dimension_ref=cfg.dimension_ref if train else None,
             )
     else:
         per["obj_scale_loss"] = zeros

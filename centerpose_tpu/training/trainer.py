@@ -93,6 +93,7 @@ def loss_config_from(cfg: CenterPoseConfig) -> CenterPoseLossConfig:
         obj_scale_uncertainty=cfg.obj_scale_uncertainty,
         kl_scale_uncertainty=cfg.kl_scale_uncertainty,
         kl_kps_uncertainty=cfg.kl_kps_uncertainty,
+        dimension_ref=cfg.dimension_ref,
     )
 
 

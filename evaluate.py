@@ -80,6 +80,29 @@ def parse_args():
     )
     p.add_argument("--eval_hard_case_list", nargs="*", default=[])
     p.add_argument("--eval_hard_case_file", default="hard_cases.json")
+    # Cup/mug dual-model path (eval_image_official.py:166-226,297-346).
+    p.add_argument(
+        "--mug_model", default="",
+        help="category 'cup' only: checkpoint for the MUG sub-model; samples "
+             "are routed between it and --load_model (the 12-fold-symmetric "
+             "cup sub-model) by the hand relabel lists",
+    )
+    p.add_argument(
+        "--label_dir", default="",
+        help="directory with the cup/mug relabel lists "
+             "(label/cup/{cup,mug_left,mug_right}_list.txt; defaults to "
+             "$CENTERPOSE_LABEL_DIR)",
+    )
+    p.add_argument(
+        "--mug_only", choices=("all", "mug", "cup"), default="all",
+        help="cup category: restrict to mug-only or cup-only samples "
+             "(eval_image_official.py:336-346)",
+    )
+    p.add_argument(
+        "--eval_mug_symmetric", type=int, default=1,
+        help="1 (default): mugs also get the rotation-symmetry sweep (the "
+             "Objectron-paper convention); 0: matched mugs skip the sweep",
+    )
     return p.parse_args()
 
 
@@ -99,7 +122,7 @@ def _hard_case_filter(args):
 
 
 def _eval_shard(records, cfg, max_images, tracking, ablation, load_model="",
-                eval_num_symmetry=None) -> str:
+                eval_num_symmetry=None, mug_kw=None) -> str:
     """Worker: evaluate a video shard, return raw stats json (spawn-safe)."""
     import tempfile
 
@@ -112,15 +135,51 @@ def _eval_shard(records, cfg, max_images, tracking, ablation, load_model="",
 
         variables = _load_variables(load_model, cfg)
     detector = Detector(cfg, variables)
+    detector_mug, mug_eval_kw = _build_mug_detector(cfg, mug_kw or {})
     ev = evaluate_tfrecords(
         detector, records, cfg, max_images=max_images or None,
         is_video=tracking, ablation=ablation,
         eval_num_symmetry=eval_num_symmetry,
+        detector_mug=detector_mug, **mug_eval_kw,
     )
     with tempfile.NamedTemporaryFile("w", suffix=".json", delete=True) as f:
         ev.save_stats(f.name)
         with open(f.name) as fr:
             return fr.read()
+
+
+def _build_mug_detector(cfg, mug_kw):
+    """Build the MUG sub-model detector + evaluate_tfrecords kwargs for the
+    cup dual-model path (eval_image_official.py:166-182). mug_kw carries
+    {mug_model, label_dir, mug_only, eval_mug_symmetric} from the CLI."""
+    if cfg.category != "cup" or not mug_kw:
+        return None, {}
+    from centerpose_tpu.config import preset
+    from centerpose_tpu.evaluation.relabel import RelabelLists
+    from centerpose_tpu.inference.detector import Detector
+
+    detector_mug = None
+    if mug_kw.get("mug_model"):
+        # The mug sub-model: same arch, non-symmetric (preset skips the
+        # 12-fold cup symmetry when mug=True).
+        mug_cfg = preset(
+            "centerpose" if cfg.arch.startswith("dlav1") else "centerpose_dla",
+            category="cup", mug=True, arch=cfg.arch,
+            input_h=cfg.input_h, input_w=cfg.input_w,
+            dcn_impl=cfg.dcn_impl, compute_dtype=cfg.compute_dtype,
+        )
+        from demo import _load_variables
+
+        mug_vars = _load_variables(mug_kw["mug_model"], mug_cfg)
+        detector_mug = Detector(mug_cfg, mug_vars)
+    mug_only = {"all": None, "mug": True, "cup": False}[
+        mug_kw.get("mug_only", "all")
+    ]
+    return detector_mug, {
+        "relabel": RelabelLists.resolve(mug_kw.get("label_dir") or None),
+        "mug_only": mug_only,
+        "eval_mug_symmetric": bool(mug_kw.get("eval_mug_symmetric", 1)),
+    }
 
 
 def main():
@@ -186,6 +245,13 @@ def main():
                 if args.init_load_model else None
             )
             init_detector = Detector(init_cfg, init_vars)
+        mug_kw = {
+            "mug_model": args.mug_model,
+            "label_dir": args.label_dir,
+            "mug_only": args.mug_only,
+            "eval_mug_symmetric": args.eval_mug_symmetric,
+        }
+        detector_mug, mug_eval_kw = _build_mug_detector(cfg, mug_kw)
         hard_ids = _hard_case_filter(args)
         if args.tfrecords:
             import glob as _glob
@@ -210,7 +276,7 @@ def main():
                         [
                             (shard, cfg, args.max_images, args.tracking,
                              ablation, args.load_model,
-                             args.eval_num_symmetry or None)
+                             args.eval_num_symmetry or None, mug_kw)
                             for shard in shards
                             if shard
                         ],
@@ -238,6 +304,8 @@ def main():
                     mobilepose_postprocess=args.eval_MobilePose_postprocessing,
                     gt_scale=args.eval_gt_scale,
                     init_detector=init_detector,
+                    detector_mug=detector_mug,
+                    **mug_eval_kw,
                 )
         else:
             evaluator = evaluate_dataset(
@@ -275,6 +343,17 @@ def main():
         def run_val(state):
             agg, n = {}, 0
             buf = []
+
+            def flush(buf):
+                nonlocal n
+                batch = collate_filtered(buf)
+                if batch is None:
+                    return
+                stats = eval_fn(state, batch)
+                n += 1
+                for k, v in stats.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+
             for i in range(len(ds)):
                 item = ds[i]
                 if item is None:
@@ -282,12 +361,10 @@ def main():
                 item.pop("meta", None)
                 buf.append(item)
                 if len(buf) == 8:
-                    batch = collate_filtered(buf)
-                    stats = eval_fn(state, batch)
-                    n += 1
-                    for k, v in stats.items():
-                        agg[k] = agg.get(k, 0.0) + float(v)
+                    flush(buf)
                     buf = []
+            if buf:  # tail partial batch (base_trainer runs every batch)
+                flush(buf)
             return {k: v / max(n, 1) for k, v in agg.items()}
 
         if args.all_checkpoints and args.load_model:

@@ -2,11 +2,16 @@
 """Numeric-parity validation against a RELEASED reference checkpoint (.pth).
 
 The test suite proves converter+architecture exactness with random weights
-(tests/test_torch_parity.py); this script is the ready-to-run harness for the
-real released blobs (absent in this image): it loads the .pth into BOTH the
-reference PyTorch model (/root/reference/src/lib, torch-cpu) and this
-framework (via models/convert.py), runs the same random input through both,
-and reports the per-head max deviation.
+(tests/test_torch_parity.py) and exercises THIS script's code path end-to-end
+with synthesized checkpoints (tests/test_validate_pth.py); the CLI is the
+ready-to-run harness for the real released blobs (absent in this image): it
+loads the .pth into BOTH the reference PyTorch model (/root/reference/src/lib,
+torch-cpu) and this framework (via models/convert.py), runs the same random
+input through both, and reports the per-head max deviation.
+
+Checkpoint format + load semantics mirror the reference loader
+(src/lib/models/model.py:34-87): {epoch, state_dict, optimizer} dicts or bare
+state_dicts, with DataParallel 'module.' prefixes stripped.
 
 Usage:
   python scripts/validate_pth.py --pth shoe_v1_140.pth --arch dlav1_34 \
@@ -20,22 +25,18 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-sys.path.insert(0, os.path.join(REPO, "tests"))
+for _p in (REPO, os.path.join(REPO, "tests")):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--pth", required=True)
-    p.add_argument("--arch", default="dlav1_34")
-    p.add_argument("--tracking", action="store_true")
-    p.add_argument("--res", type=int, default=512)
-    p.add_argument(
-        "--atol", type=float, default=1e-3,
-        help="max |ours - ref| per head, relative to the head's max |ref|",
-    )
-    args = p.parse_args()
+def validate(pth, arch="dlav1_34", tracking=False, res=512, atol=1e-3,
+             verbose=True):
+    """Load `pth` into both models and compare forwards.
 
+    Returns (ok, {head: max_rel_deviation}). The deviation is |ours - ref|
+    max, relative to max(|ref|max, 1) per head.
+    """
     import numpy as np
     import torch
 
@@ -51,25 +52,27 @@ def main():
     from centerpose_tpu.models import create_model
     from centerpose_tpu.models.convert import convert_state_dict
 
-    name = "centerpose_track" if args.tracking else (
-        "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"
+    name = "centerpose_track" if tracking else (
+        "centerpose" if arch.startswith("dlav1") else "centerpose_dla"
     )
-    cfg = preset(name, arch=args.arch, input_h=args.res, input_w=args.res)
+    head_conv = 64 if (arch.startswith(("res", "hourglass"))) else 256
+    cfg = preset(name, arch=arch, input_h=res, input_w=res, head_conv=head_conv)
 
-    # Reference model with the released weights.
+    # Reference model with the released weights (model.py:34-51 semantics:
+    # optional 'state_dict' wrapper, 'module.' DataParallel prefix strip).
     tmodel = torch_ref.build_ref_model(
-        args.arch, dict(cfg.heads), cfg.head_conv, tracking=args.tracking
+        arch, dict(cfg.heads), cfg.head_conv, tracking=tracking
     )
-    ckpt = torch.load(args.pth, map_location="cpu", weights_only=False)
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
     missing, unexpected = tmodel.load_state_dict(sd, strict=False)
-    if missing or unexpected:
+    if verbose and (missing or unexpected):
         print(f"WARNING: missing={list(missing)[:5]} unexpected={list(unexpected)[:5]}")
     tmodel.eval()
 
     rng = np.random.RandomState(0)
-    x = rng.uniform(-1, 1, (1, 3, args.res, args.res)).astype(np.float32)
+    x = rng.uniform(-1, 1, (1, 3, res, res)).astype(np.float32)
     t_out = torch_ref.torch_forward(tmodel, x)
 
     # Our model with the converted weights.
@@ -83,15 +86,37 @@ def main():
     j_out = model.apply(converted, x_nhwc, train=False)
 
     ok = True
+    devs = {}
     for head in sorted(t_out):
         ours = np.asarray(j_out[head]).transpose(0, 3, 1, 2)
         ref = t_out[head]
         scale = max(np.abs(ref).max(), 1.0)
-        rel = np.abs(ours - ref).max() / scale
-        status = "OK  " if rel <= args.atol else "FAIL"
-        ok &= rel <= args.atol
-        print(f"{status} {head:16s} max_rel={rel:.3e} (|ref|max={scale:.3g})")
-    print("PARITY OK" if ok else "PARITY FAILED")
+        rel = float(np.abs(ours - ref).max() / scale)
+        devs[head] = rel
+        status = "OK  " if rel <= atol else "FAIL"
+        ok &= rel <= atol
+        if verbose:
+            print(f"{status} {head:16s} max_rel={rel:.3e} (|ref|max={scale:.3g})")
+    if verbose:
+        print("PARITY OK" if ok else "PARITY FAILED")
+    return ok, devs
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pth", required=True)
+    p.add_argument("--arch", default="dlav1_34")
+    p.add_argument("--tracking", action="store_true")
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument(
+        "--atol", type=float, default=1e-3,
+        help="max |ours - ref| per head, relative to the head's max |ref|",
+    )
+    args = p.parse_args()
+    ok, _ = validate(
+        args.pth, arch=args.arch, tracking=args.tracking, res=args.res,
+        atol=args.atol,
+    )
     sys.exit(0 if ok else 1)
 
 

@@ -90,3 +90,122 @@ class TestEvaluateCLI:
         assert os.path.exists(report)
         text = open(report).read()
         assert "iou3d" in text and "num_gt=2" in text
+
+    def test_hard_case_subsets(self, toy_data, tmp_path):
+        """--eval_hard_case 1 (json id file) and 2 (inline list) restrict the
+        evaluated videos (eval_video_official.py:1574-1603)."""
+        cases = str(tmp_path / "hard_cases.json")
+        with open(cases, "w") as f:
+            json.dump({"shoe": ["video_0"]}, f)
+        report = str(tmp_path / "r1.txt")
+        proc = _run(
+            ["evaluate.py", "--mode", "metric", "--data_dir", toy_data,
+             "--c", "shoe", "--input_res", "64", "--report_file", report,
+             "--eval_hard_case", "1", "--eval_hard_case_file", cases],
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "num_gt=2" in open(report).read()
+
+        # An id list that matches nothing -> zero GT evaluated.
+        report2 = str(tmp_path / "r2.txt")
+        proc = _run(
+            ["evaluate.py", "--mode", "metric", "--data_dir", toy_data,
+             "--c", "shoe", "--input_res", "64", "--report_file", report2,
+             "--eval_hard_case", "2", "--eval_hard_case_list", "no_such_video"],
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "num_gt=0" in open(report2).read()
+
+    def test_n_proc_tfrecord_shards(self, tmp_path):
+        """--n_proc 2: per-video shard workers + raw-stats merge
+        (eval_video_official.py:1639-1675 parity)."""
+        import io
+
+        from PIL import Image
+
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo")
+        from centerpose_tpu.data.tfrecord import write_tfrecord
+        from tests.test_tfrecord import make_example
+
+        rng = np.random.RandomState(0)
+        img = Image.fromarray((rng.rand(48, 64, 3) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        for vid in ("video_a", "video_b"):
+            pts2d = np.hstack([rng.rand(9, 2), np.ones((9, 1))])
+            payload = make_example(
+                {
+                    "image/encoded": ("bytes", [buf.getvalue()]),
+                    "image/id": ("int64", [0]),
+                    "image/filename": ("bytes", [f"shoe/{vid}/0".encode()]),
+                    "instance_num": ("int64", [1]),
+                    "point_num": ("int64", [9]),
+                    "point_2d": ("float", pts2d.ravel().tolist()),
+                    "point_3d": ("float", rng.rand(9, 3).ravel().tolist()),
+                    "object/scale": ("float", [0.1, 0.2, 0.15]),
+                    "object/translation": ("float", [0, 0, 1.0]),
+                    "object/orientation": ("float", np.eye(3).ravel().tolist()),
+                    "object/visibility": ("float", [1.0]),
+                }
+            )
+            write_tfrecord(str(tmp_path / f"{vid}.tfrecord"), [payload])
+
+        report = str(tmp_path / "nproc.txt")
+        proc = _run(
+            ["evaluate.py", "--mode", "metric",
+             "--tfrecords", str(tmp_path / "*.tfrecord"),
+             "--c", "shoe", "--input_res", "64", "--n_proc", "2",
+             "--report_file", report],
+            timeout=2400,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "num_gt=2" in open(report).read()
+
+    def test_all_checkpoints_loss_replay(self, toy_data, tmp_path):
+        """--mode loss --all_checkpoints replays every checkpoint dir through
+        the val loss (src/test.py:70-95 parity)."""
+        import jax
+
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo")
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.models import create_model
+        from centerpose_tpu.training.trainer import create_train_state
+        from centerpose_tpu.utils.checkpoint import save_checkpoint
+
+        cfg = preset("centerpose", category="shoe", input_h=64, input_w=64)
+        model = create_model(cfg)
+        state, _ = create_train_state(cfg, model, jax.random.PRNGKey(0))
+        for epoch in (1, 2):
+            save_checkpoint(
+                str(tmp_path / "ckpts" / f"epoch_{epoch}"), state, step=epoch
+            )
+
+        proc = _run(
+            ["evaluate.py", "--mode", "loss", "--data_dir", toy_data,
+             "--c", "shoe", "--input_res", "64", "--all_checkpoints",
+             "--load_model", str(tmp_path / "ckpts")],
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "epoch_1 (step 1)" in proc.stdout, proc.stdout
+        assert "epoch_2 (step 2)" in proc.stdout, proc.stdout
+        assert "loss=" in proc.stdout  # tail partial batch is evaluated
+
+
+class TestDemoFixShort:
+    def test_demo_fix_short(self, toy_data, tmp_path):
+        """--fix_short resizes the short side, long side rounded to 64
+        (base_detector.py:96-104)."""
+        img = os.path.join(toy_data, "video_0", "00000.png")
+        out_dir = str(tmp_path / "fs_out")
+        proc = _run(
+            ["demo.py", "--demo", img, "--c", "shoe", "--arch", "dlav1_34",
+             "--fix_short", "64", "--out_dir", out_dir],
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        with open(os.path.join(out_dir, "00000.json")) as f:
+            rec = json.load(f)
+        assert "detections" in rec

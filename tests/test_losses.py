@@ -111,6 +111,57 @@ class TestRegLosses:
         )
         np.testing.assert_allclose(l, 1.0, atol=1e-3)
 
+    def test_residual_dimension_ref(self):
+        """use_residual branch (losses.py:165-172): the head predicts
+        log-residuals; pred = exp(pred) * dimension_ref before the L1."""
+        rng = np.random.RandomState(1)
+        ref = (0.78, 1.0, 0.77)
+        feat = rng.randn(B, H, W, 3).astype(np.float32)
+        ind = rng.randint(0, H * W, size=(B, S, M))
+        mask = np.ones((B, S, M), np.float32)
+        flat = feat.reshape(B, H * W, 3)
+        gathered = np.stack(
+            [np.stack([flat[b][ind[b, s]] for s in range(S)]) for b in range(B)]
+        )
+        # target = exp(pred) * ref -> residual loss is exactly zero.
+        target = np.exp(gathered) * np.asarray(ref, np.float32)
+        l = np.asarray(
+            reg_l1_loss(
+                jnp.asarray(feat), jnp.asarray(mask), jnp.asarray(ind),
+                jnp.asarray(target), dimension_ref=ref,
+            )
+        )
+        np.testing.assert_allclose(l, 0.0, atol=1e-5)
+        # Without the ref decode the same target is far from the raw pred.
+        l_plain = np.asarray(
+            reg_l1_loss(
+                jnp.asarray(feat), jnp.asarray(mask), jnp.asarray(ind),
+                jnp.asarray(target),
+            )
+        )
+        assert np.all(l_plain > 0.1)
+
+    def test_dimension_ref_config_property(self):
+        from centerpose_tpu.config import DIMENSION_REF
+
+        cfg = preset("centerpose", category="cup", use_residual=True)
+        means = DIMENSION_REF["cup"][0]
+        assert cfg.dimension_ref == pytest.approx((means[3], 1.0, means[4]))
+        # mug sub-model uses the mug statistics (opts.py:411).
+        cfg_mug = preset("centerpose", category="cup", mug=True, use_residual=True)
+        assert cfg_mug.dimension_ref == pytest.approx(
+            (DIMENSION_REF["mug"][0][3], 1.0, DIMENSION_REF["mug"][0][4])
+        )
+        assert cfg_mug.num_symmetry == 1  # mug is NOT 12-fold symmetric
+        cfg_abs = preset(
+            "centerpose", category="shoe", use_residual=True,
+            use_absolute_scale=True,
+        )
+        assert cfg_abs.dimension_ref == pytest.approx(
+            DIMENSION_REF["shoe"][0][:3]
+        )
+        assert preset("centerpose", category="shoe").dimension_ref is None
+
     def test_kld_scale_finite_and_penalizes_error(self):
         feat, ind, mask, target = self._setup()
         unc = np.zeros((B, H, W, 2), np.float32)  # log-var = 0 -> var = 1

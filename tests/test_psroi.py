@@ -25,12 +25,16 @@ def numpy_psroi(x, rois, trans, spatial_scale, pooled_size, output_dim,
     num_classes = 1 if trans is None else trans.shape[1] // 2
     ch_each = output_dim // num_classes
     out = np.zeros((n_rois, P, P, output_dim), np.float64)
+    def c_round(v):
+        # C round(): half away from zero (python round is half-to-even).
+        return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
     for n in range(n_rois):
         b = int(round(rois[n, 0]))
-        sw = round(rois[n, 1]) * spatial_scale - 0.5
-        sh = round(rois[n, 2]) * spatial_scale - 0.5
-        ew = (round(rois[n, 3]) + 1.0) * spatial_scale - 0.5
-        eh = (round(rois[n, 4]) + 1.0) * spatial_scale - 0.5
+        sw = c_round(rois[n, 1]) * spatial_scale - 0.5
+        sh = c_round(rois[n, 2]) * spatial_scale - 0.5
+        ew = (c_round(rois[n, 3]) + 1.0) * spatial_scale - 0.5
+        eh = (c_round(rois[n, 4]) + 1.0) * spatial_scale - 0.5
         roi_w = max(ew - sw, 0.1)
         roi_h = max(eh - sh, 0.1)
         bw, bh = roi_w / P, roi_h / P
@@ -99,6 +103,54 @@ def test_matches_numpy_mirror(group_size, output_dim, trans_std):
     ref = numpy_psroi(x, rois, trans, 0.25, P, output_dim, group_size, ps, S,
                       trans_std)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_half_coordinate_rounding():
+    """ROI corners on exact .5 (incl. negative): C round() is half away from
+    zero — 2.5 -> 3, -2.5 -> -3 — where numpy/python round half-to-even would
+    give 2 / -2 (ADVICE r2)."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 12, 16, 8).astype(np.float32)
+    rois = np.array([
+        [0, 2.5, 3.5, 30.5, 27.5],
+        [0, -2.5, -0.5, 10.5, 12.5],
+        [0, 1.5, 2.5, 29.5, 28.5],
+    ], np.float32)
+    kw = dict(spatial_scale=0.25, pooled_size=3, output_dim=8, group_size=1,
+              part_size=3, sample_per_part=4, trans_std=0.0)
+    got = dcn_v2_psroi_pooling(jnp.asarray(x), jnp.asarray(rois), None, **kw)
+    ref = numpy_psroi(x, rois, None, 0.25, 3, 8, 1, 3, 4, 0.0)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
+    # The half-away rounding must actually change the result vs half-to-even:
+    # ROI x1=2.5 -> 3 (C) vs 2 (banker's) shifts the ROI start by a full cell.
+    rois_shift = rois.copy()
+    rois_shift[0, 1] = 2.0  # what half-to-even would have produced
+    ref_shift = numpy_psroi(x, rois_shift, None, 0.25, 3, 8, 1, 3, 4, 0.0)
+    assert not np.allclose(ref[0], ref_shift[0])
+
+
+def test_multiclass_trans_selection():
+    """num_classes=2: class_id = ctop // channels_each_class selects the
+    class's (x, y) offset channels (dcn_v2_psroi_pooling_cpu.cpp:100-105) —
+    distinct per-class offsets must produce distinct outputs (ADVICE r2)."""
+    rng = np.random.RandomState(3)
+    P, ps, S = 3, 3, 2
+    group_size, output_dim = 2, 4  # 2 classes x 2 channels each
+    C = output_dim * group_size * group_size
+    x = rng.randn(1, 12, 16, C).astype(np.float32)
+    rois = np.array([[0, 2.0, 3.0, 40.0, 36.0]], np.float32)
+    trans = (0.8 * rng.randn(1, 4, ps, ps)).astype(np.float32)  # 2 classes
+    kw = dict(spatial_scale=0.25, pooled_size=P, output_dim=output_dim,
+              group_size=group_size, part_size=ps, sample_per_part=S,
+              trans_std=0.2)
+    got = dcn_v2_psroi_pooling(jnp.asarray(x), jnp.asarray(rois),
+                               jnp.asarray(trans), **kw)
+    ref = numpy_psroi(x, rois, trans, 0.25, P, output_dim, group_size, ps, S,
+                      0.2)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
+    # Guard that the two classes' offsets genuinely differ in this fixture
+    # (otherwise the class-indexing path isn't really exercised).
+    assert not np.allclose(trans[0, :2], trans[0, 2:])
 
 
 def test_no_trans_equals_zero_trans():

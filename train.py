@@ -66,6 +66,22 @@ def parse_args():
              "batch of every epoch to exp/.../debug/ "
              "(trains/object_pose.py:218-401 parity)",
     )
+    p.add_argument(
+        "--mug", action="store_true",
+        help="cup category: train the non-symmetric MUG sub-model — selects "
+             "mug-relabeled annotations and the mug dimension stats "
+             "(opts.py:203,411; dataset_combined.py:361,568)",
+    )
+    p.add_argument(
+        "--use_residual", action="store_true",
+        help="scale head predicts log-residuals against the per-category "
+             "dimension_ref means (opts.py:408-420, losses.py:165-172)",
+    )
+    p.add_argument(
+        "--use_absolute_scale", action="store_true",
+        help="with --use_residual: absolute [w,h,d] reference instead of "
+             "height-relative",
+    )
     return p.parse_args()
 
 
@@ -101,6 +117,9 @@ def main():
         dcn_bwd=args.dcn_bwd,
         dcn_impl=args.dcn_impl,
         compute_dtype=args.compute_dtype,
+        mug=args.mug,
+        use_residual=args.use_residual,
+        use_absolute_scale=args.use_absolute_scale,
     )
     if args.num_epochs:
         cfg = cfg.replace(num_epochs=args.num_epochs)
