@@ -288,50 +288,88 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
         glo = lo.astype(jnp.int32) // nr
         ghi = (hi.astype(jnp.int32) + nr - 1) // nr
         ghi = jnp.maximum(ghi, glo)
+        mf = m.astype(jnp.float32)
 
-        def body(grp, acc):
+        def sel_dot(grp, mrow):
+            # The MASK rides inside the [1, GS] y-hat factor (mrow = m, or
+            # m·gate on the peeled group) — the post-loop [C, GS] multiply
+            # disappears.
             base = (grp * nr).astype(jnp.float32)
             sel = jnp.concatenate(
                 [
                     (xhat
-                     * jnp.maximum(1.0 - jnp.abs(pyc - (base + r)), 0.0)
+                     * (jnp.maximum(1.0 - jnp.abs(pyc - (base + r)), 0.0)
+                        * mrow)
                      ).astype(x_ref.dtype)
                     for r in range(nr)
                 ],
                 axis=0,
             )                                                  # [nr·W, GS]
-            st = jax.lax.dot_general(
+            return jax.lax.dot_general(
                 x_ref[0, grp], sel, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return acc + st.astype(acc_dt)
 
-        acc = jax.lax.fori_loop(glo, ghi, body, jnp.zeros((c, gs), acc_dt))
+        # First group peeled into the accumulator init; empty-range programs
+        # (every sample out of image) read a clamped group index and zero
+        # the contribution via the scalar gate (see the mp path below).
+        g0 = jnp.minimum(glo, h // nr - 1)
+        gate = (glo < ghi).astype(jnp.float32)
+        acc = sel_dot(g0, mf * gate).astype(acc_dt)
+
+        def body(grp, acc):
+            return acc + sel_dot(grp, mf).astype(acc_dt)
+
+        acc = jax.lax.fori_loop(glo + 1, ghi, body, acc)
+        acc = acc.astype(w_ref.dtype)
     else:
         # Rows are PRE-STACKED in XLA ([B, H/mp, mp*C, W]); the kernel slices
         # one [mp*C, W] stack per iteration — no in-kernel concat (measured: a
         # per-iteration two-row concat costs more than the halved matmuls
         # saved). mp=2 pairs fill M=128 at C=64; mp=4 quads (M=256) halve the
         # iteration count again.
+        # The MASK rides inside the [1, GS] y-hat (am = yh·m) instead of a
+        # post-loop [C, GS] multiply, and the first iteration initializes the
+        # accumulator directly (no zeros + add). Out-of-range programs are
+        # still exact: every sample's hat support is empty there, so the
+        # peeled iteration contributes am == 0.
         xhat_d = xhat.astype(x_ref.dtype)
+        mf = m.astype(jnp.float32)
         plo = lo.astype(jnp.int32) // mp
         phi = (hi.astype(jnp.int32) + mp - 1) // mp
         phi = jnp.maximum(phi, plo)
 
-        def body(p, acc):
-            st = jax.lax.dot_general(
+        def stacked_dot(p):
+            return jax.lax.dot_general(
                 x_ref[0, p], xhat_d, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(acc_dt)                                   # [mp*C, GS]
-            rf = (p * mp).astype(jnp.float32)
+
+        def am_of(p, i, gate=None):
+            rf = p.astype(jnp.float32) * mp
+            a = jnp.maximum(1.0 - jnp.abs(pyc - (rf + float(i))), 0.0)
+            amf = a * mf if gate is None else a * (mf * gate)
+            return amf.astype(acc_dt)
+
+        # Empty-range guard: with every sample outside the image, lo == hi
+        # lands plo at H/mp (an out-of-range stack) and the CLIPPED pyc can
+        # still put nonzero hat weight on rows >= H — clamp the read and
+        # zero the peeled contribution via the scalar gate.
+        p0 = jnp.minimum(plo, h // mp - 1)
+        gate = (plo < phi).astype(jnp.float32)
+        st0 = stacked_dot(p0)
+        acc = am_of(p0, 0, gate) * st0[:c]
+        for i in range(1, mp):
+            acc = acc + am_of(p0, i, gate) * st0[i * c:(i + 1) * c]
+
+        def body(p, acc):
+            st = stacked_dot(p)
             for i in range(mp):
-                a = jnp.maximum(1.0 - jnp.abs(pyc - (rf + float(i))), 0.0)
-                acc = acc + a.astype(acc_dt) * st[i * c:(i + 1) * c]
+                acc = acc + am_of(p, i) * st[i * c:(i + 1) * c]
             return acc
 
-        acc = jax.lax.fori_loop(plo, phi, body, jnp.zeros((c, gs), acc_dt))
-
-    acc = (acc * m.astype(acc_dt)).astype(w_ref.dtype)
+        acc = jax.lax.fori_loop(plo + 1, phi, body, acc)
+        acc = acc.astype(w_ref.dtype)
     gw = g * w
     if gw >= 128:
         # Single stacked output conv: taps move from lanes to sublanes with
