@@ -169,3 +169,72 @@ class TestTrackingDataset:
         assert item["pre_hm"].shape == (64, 64, 1)
         # Untrained detector still produces detections at vis_thresh 0 -> some heat.
         assert item["pre_hm"].max() >= 0.0
+
+
+class TestNewDataAugmentation:
+    """--new_data_augmentation (dataset_combined.py:307-318), native mirror."""
+
+    def test_motion_blur_preserves_mean_and_shape(self):
+        from centerpose_tpu.data.dataset import _motion_blur
+
+        rng = np.random.RandomState(3)
+        img = rng.rand(40, 50, 3).astype(np.float32) * 255.0
+        out = _motion_blur(rng, img)
+        assert out.shape == img.shape
+        # The kernel is normalized to sum 1 -> global mean is ~preserved
+        # (mirror border is mean-neutral on random content).
+        assert abs(out.mean() - img.mean()) < 2.0
+        # 3x3 kernel with >=2 taps strictly smooths iid noise.
+        assert out.std() < img.std()
+
+    def test_motion_blur_identity_on_constant(self):
+        from centerpose_tpu.data.dataset import _motion_blur
+
+        img = np.full((16, 16, 3), 127.0, np.float32)
+        out = _motion_blur(np.random.RandomState(0), img)
+        np.testing.assert_allclose(out, img, atol=1e-4)
+
+    def test_downscale_duplicates_pixels(self):
+        from centerpose_tpu.data.dataset import _downscale
+
+        rng = np.random.RandomState(5)
+        img = rng.rand(64, 64, 3).astype(np.float32) * 255.0
+        out = _downscale(rng, img)
+        assert out.shape == img.shape
+        # Nearest down(0.6..0.8)+up leaves only the sub-sampled value set.
+        assert len(np.unique(out)) < len(np.unique(img))
+        assert set(np.unique(out)).issubset(set(np.unique(img)))
+
+    def test_gauss_noise_stats_and_clipping(self):
+        from centerpose_tpu.data.dataset import _gauss_noise
+
+        rng = np.random.RandomState(7)
+        img = np.full((64, 64, 3), 128.0, np.float32)
+        out = _gauss_noise(rng, img)
+        # var in [10, 50] -> sigma in [3.2, 7.1]
+        assert 2.5 < out.std() < 8.0
+        assert out.min() >= 0.0 and out.max() <= 255.0
+        out2 = _gauss_noise(np.random.RandomState(8), np.zeros((8, 8, 3)))
+        assert out2.min() >= 0.0
+
+    def test_compose_probability_gating(self):
+        from centerpose_tpu.data.dataset import new_data_augment
+
+        img = (np.random.RandomState(1).rand(32, 32, 3) * 255).astype(np.float32)
+        rng = np.random.RandomState(0)
+        changed = sum(
+            float(not np.array_equal(new_data_augment(rng, img), img))
+            for _ in range(200)
+        )
+        # P(any op fires) = 1 - 0.9*0.9*0.8 = 0.352; [40, 100] of 200 is a
+        # >6-sigma acceptance band either side.
+        assert 40 <= changed <= 100
+
+    def test_dataset_wiring_train_only(self, toy_dataset):
+        cfg = preset("centerpose", input_h=64, input_w=64)
+        ds_val = ObjectPoseDataset(toy_dataset, cfg, split="val", new_data_aug=True)
+        assert not ds_val.new_data_aug
+        ds = ObjectPoseDataset(toy_dataset, cfg, split="train", new_data_aug=True)
+        assert ds.new_data_aug
+        item = ds[0]
+        assert item is not None and np.isfinite(item["input"]).all()

@@ -82,6 +82,11 @@ def parse_args():
         help="with --use_residual: absolute [w,h,d] reference instead of "
              "height-relative",
     )
+    p.add_argument(
+        "--new_data_augmentation", action="store_true",
+        help="extra raw-image degradations before the affine warp: motion "
+             "blur / downscale / gaussian noise (dataset_combined.py:307-318)",
+    )
     return p.parse_args()
 
 
@@ -127,7 +132,10 @@ def main():
     exp_dir = os.path.join("exp", cfg.arch, args.exp_id)
     logger = Logger(exp_dir, cfg)
 
-    train_ds = ObjectPoseDataset(args.data_dir, cfg, split="train")
+    train_ds = ObjectPoseDataset(
+        args.data_dir, cfg, split="train",
+        new_data_aug=args.new_data_augmentation,
+    )
     val_ds = ObjectPoseDataset(args.val_dir or args.data_dir, cfg, split="val")
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
     logger.write(f"train {len(train_ds)} samples, {steps_per_epoch} steps/epoch")
