@@ -41,10 +41,13 @@ outside the loop/iota range), matching the zero-padded gather.
 
 Three lean kernels instead of one (VMEM: each needs a different resident x
 layout or none at all; together they exceed the 16M scoped budget at 128²):
-  _dx_kernel     — no x at all; needs the TRANSPOSED selector hatXᵀ [GS, W]
-                   (px arrives on sublanes via a [GS, 1] side input).
+  _dx_kernel     — no x at all; the hatXᵀ contraction is a lane-lane dot
+                   against the natural [W, GS] selector (no transposed
+                   operand, no sublane side inputs — see _fused_kernel).
   _dcoord_kernel — x in natural NHWC (pg_r = x[r] @ gs is already [W,C]x[C,GS]).
   _dw_kernel     — x as [H, C, W] (bx_r = x[r] @ hatX re-runs the forward row).
+The production path is _fused_kernel (all three in one program); the split
+kernels stay for tests/sweeps via fused=False.
 """
 
 from __future__ import annotations
@@ -115,10 +118,13 @@ def _gs_lanes(w_ref, g_ref, m, c: int, co: int, g: int, w: int, dt,
     return gs.astype(dt)
 
 
-def _dx_kernel(dym_ref, idx_ref, pxt_ref, g_ref, w_ref, out_ref, *,
+def _dx_kernel(dym_ref, idx_ref, g_ref, w_ref, out_ref, *,
                h: int, w: int, c: int, co: int, g: int):
     """dX[r] += (hatY_r ∘ m·gs) @ hatXᵀ, accumulated into the revisited
-    [1, H, C, W] f32 output block (zeroed once per batch item)."""
+    [1, H, C, W] f32 output block (zeroed once per batch item). The hatXᵀ
+    contraction is expressed as a lane-lane dot against the NATURAL [W, GS]
+    selector (dot dims ((1,),(1,))) — no transposed operand, no sublane side
+    input (whose 128x lane padding cost 1.12G HBM per layer)."""
     rb = pl.program_id(1)
 
     @pl.when(rb == 0)
@@ -129,15 +135,8 @@ def _dx_kernel(dym_ref, idx_ref, pxt_ref, g_ref, w_ref, out_ref, *,
     pyc, y0, fy, m, dx = _common(dym_ref, idx_ref, rb, g, h)
     dt = g_ref.dtype
     gm = _gs_lanes(w_ref, g_ref, m, c, co, g, w, dt, masked=True)
-
-    # Transposed selector hatXᵀ [GS, W]: px on SUBLANES via the [GS, 1] side
-    # input (a lane→sublane transpose in-kernel would relayout; the side input
-    # is 9 KB of HBM and XLA builds it for free).
-    lanes_x = jax.lax.broadcasted_iota(jnp.int32, (gs, w), 1).astype(
-        jnp.float32
-    )
-    pxt = jnp.clip(pxt_ref[0, 0], -2.0, float(w + 1))        # [GS, 1]
-    xhat_t = jnp.maximum(1.0 - jnp.abs(lanes_x - pxt), 0.0).astype(dt)
+    xhat, _, _ = _xhat_lanes(idx_ref, dx, w, gs)
+    xhat_d = xhat.astype(dt)                                 # [W, GS]
 
     lo = jnp.clip(jnp.min(y0), 0.0, float(h)).astype(jnp.int32)
     hi = jnp.clip(
@@ -148,7 +147,7 @@ def _dx_kernel(dym_ref, idx_ref, pxt_ref, g_ref, w_ref, out_ref, *,
     def body(r, _):
         yh = jnp.maximum(1.0 - jnp.abs(pyc - r.astype(jnp.float32)), 0.0)
         upd = jax.lax.dot_general(
-            (yh.astype(dt) * gm), xhat_t, (((1,), (0,)), ((), ())),
+            (yh.astype(dt) * gm), xhat_d, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                    # [C, W]
         out_ref[0, r] = out_ref[0, r] + upd.astype(out_ref.dtype)
@@ -244,7 +243,7 @@ def _dw_kernel(dym_ref, idx_ref, xk_ref, gt_ref, out_ref, *,
     ).astype(out_ref.dtype)
 
 
-def _fused_kernel(dym_ref, idx_ref, pxt_ref, x_ref, xk_ref, g_ref, gt_ref,
+def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
                   w_ref, dx_ref, dc_ref, dw_ref, *,
                   h: int, w: int, c: int, co: int, g: int):
     """All three backward computations in ONE program: the per-program fixed
@@ -253,7 +252,27 @@ def _fused_kernel(dym_ref, idx_ref, pxt_ref, x_ref, xk_ref, g_ref, gt_ref,
     ([H, W, C] for pg, [H, C, W] for bx) — legal under the raised 64M scoped
     vmem. The shared row loop uses the dcoord bound (max(y0)+2, one-sided
     corner derivative); the extra row at fy == 0 contributes yh == 0 to the
-    dX/dW terms, matching the split kernels exactly."""
+    dX/dW terms, matching the split kernels exactly.
+
+    The dX scatter-as-matmul contracts the LANES of both operands
+    (dot_general dims ((1,),(1,))): sel [C, GS] x hatX_m [W, GS] -> [C, W].
+    Mosaic lowers this natively (measured vs the sublane-contraction form on
+    v5e), which removes the transposed [GS, W] selector — and with it the
+    [B, H/G, GS, k] sublane side inputs whose 128x lane padding cost 1.12G
+    HBM per DCN layer (the round-3 OOM; NOTES_PERF round 3d).
+
+    Per-row hat applications ride the SMALLER matmul operand (shape-gated,
+    exact algebra — the kernel is VPU-bound, NOTES_PERF round 2j):
+      c <= w (the 128² C64 layers): yh/dyh fold into the [C, GS] gs-selector,
+              so the q/df updates are pure matmul+add and the dX update reuses
+              the yh-folded selector — no per-row [W, GS] multiplies remain.
+      w < c  (64²+ C128+): yh folds into the [W, GS] hatX for both the samp
+              accumulation and the dX dot — no per-row [C, GS] multiplies
+              remain (yh is lane-major and broadcasts over sublanes for free).
+    The MASK rides the [W, GS] hat factor (one multiply per program) instead
+    of a per-program [C, GS] gm copy. The first loop row is peeled into the
+    carry init; empty ranges (every sample off-image) read a clamped row and
+    are zeroed by a scalar gate on the hat factors."""
     bi = pl.program_id(0)
     rb = pl.program_id(1)
 
@@ -272,44 +291,75 @@ def _fused_kernel(dym_ref, idx_ref, pxt_ref, x_ref, xk_ref, g_ref, gt_ref,
     dt = x_ref.dtype
     xhat_d = xhat.astype(dt)
     gsv = _gs_lanes(w_ref, g_ref, m, c, co, g, w, dt, masked=False)
-    gm = (gsv.astype(jnp.float32) * m).astype(dt)
-
-    lanes_x = jax.lax.broadcasted_iota(jnp.int32, (gs, w), 1).astype(
-        jnp.float32
-    )
-    pxt = jnp.clip(pxt_ref[0, 0], -2.0, float(w + 1))        # [GS, 1]
-    xhat_t = jnp.maximum(1.0 - jnp.abs(lanes_x - pxt), 0.0).astype(dt)
+    xhat_m = (xhat * m).astype(dt)                           # [W, GS]
+    fold_q = c <= w
 
     lo = jnp.clip(jnp.min(y0), 0.0, float(h)).astype(jnp.int32)
     hi = jnp.clip(jnp.max(y0) + 2.0, 0.0, float(h)).astype(jnp.int32)
     hi = jnp.maximum(hi, lo)
 
-    def body(r, carry):
-        q, df, samp = carry
+    def row_terms(r, gate):
+        """(q, df, samp) contributions + the dX row update for row r.
+
+        `gate` (peeled first row only) zeroes every term on empty-range
+        programs — it rides the hat factors, so all four outputs vanish.
+        """
         rf = r.astype(jnp.float32)
         yh = jnp.maximum(1.0 - jnp.abs(pyc - rf), 0.0)
         dyh = (y0 == rf - 1.0).astype(jnp.float32) - (y0 == rf).astype(
             jnp.float32
         )
-        pg = jax.lax.dot_general(
-            x_ref[0, r], gsv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                    # [W, GS]
-        bx = jax.lax.dot_general(
-            xk_ref[0, r], xhat_d, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                    # [C, GS]
-        upd = jax.lax.dot_general(
-            (yh.astype(dt) * gm), xhat_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                    # [C, W]
-        dx_ref[0, r] = dx_ref[0, r] + upd.astype(dx_ref.dtype)
-        return q + yh * pg, df + dyh * pg, samp + yh * bx
+        if gate is not None:
+            yh = yh * gate
+            dyh = dyh * gate
+        if fold_q:
+            qsel = yh.astype(dt) * gsv                       # [C, GS]
+            dsel = dyh.astype(dt) * gsv
+            pq = jax.lax.dot_general(
+                x_ref[0, r], qsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [W, GS] = yh·pg
+            pd = jax.lax.dot_general(
+                x_ref[0, r], dsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [W, GS] = dyh·pg
+            bxs = yh * jax.lax.dot_general(
+                xk_ref[0, r], xhat_d, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [C, GS] = yh·bx
+            upd = jax.lax.dot_general(
+                qsel, xhat_m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [C, W]
+        else:
+            pg = jax.lax.dot_general(
+                x_ref[0, r], gsv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [W, GS]
+            pq = yh * pg
+            pd = dyh * pg
+            yhd = yh.astype(dt)
+            bxs = jax.lax.dot_general(
+                xk_ref[0, r], yhd * xhat_d, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [C, GS] = yh·bx
+            upd = jax.lax.dot_general(
+                gsv, yhd * xhat_m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [C, W]
+        return pq, pd, bxs, upd
 
-    zero_w = jnp.zeros((w, gs), jnp.float32)
-    q, df, samp = jax.lax.fori_loop(
-        lo, hi, body, (zero_w, zero_w, jnp.zeros((c, gs), jnp.float32))
-    )
+    def body(r, carry):
+        q, df, samp = carry
+        pq, pd, bxs, upd = row_terms(r, None)
+        dx_ref[0, r] = dx_ref[0, r] + upd.astype(dx_ref.dtype)
+        return q + pq, df + pd, samp + bxs
+
+    r0 = jnp.minimum(lo, h - 1)
+    gate = (lo < hi).astype(jnp.float32)
+    q, df, samp, upd0 = row_terms(r0, gate)
+    dx_ref[0, r0] = dx_ref[0, r0] + upd0.astype(dx_ref.dtype)
+    q, df, samp = jax.lax.fori_loop(lo + 1, hi, body, (q, df, samp))
 
     dxh = (lanes == x0 + 1.0).astype(jnp.float32) - (lanes == x0).astype(
         jnp.float32
@@ -361,9 +411,9 @@ def _pick_bwd_block_rows(h: int, w: int, c: int, co: int, itemsize: int,
                 + 2 * h * c * w * 4               # dX accumulator + writeback
                 + 16 * w * gs                     # q/df/pg f32 at peak
                 + 4 * c * gs * 4                  # samp/bx f32
-                + 3 * c * gs * itemsize           # gsv/gm/sampm
-                + 2 * gs * w * itemsize           # xhat_d + xhat_t
-                + 2 * gs * 128 * 4                # pxt lane padding
+                + 3 * c * gs * itemsize           # gsv/sampm + fold temps
+                + 2 * max(c, w) * gs * itemsize   # qsel/dsel or yh-folded hats
+                + 2 * gs * w * itemsize           # xhat_d + xhat_m
                 + 9 * c * gw * 4
                 + 2 * 9 * c * co * 4
                 + 2 * co * gw * 4
@@ -379,9 +429,8 @@ def _pick_bwd_block_rows(h: int, w: int, c: int, co: int, itemsize: int,
         elif kernel == "dx":
             live = (
                 2 * h * c * w * 4                 # dX accumulator + writeback
-                + gs * w * itemsize               # hatXᵀ
+                + gs * w * itemsize               # hatX [W, GS]
                 + 3 * c * gs * 4                  # gm + loop temps
-                + 2 * gs * 128 * 4                # pxt [GS, 1] lane padding
                 + 9 * c * gw * 4
                 + 9 * c * co * 4
             )
@@ -480,12 +529,6 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
                               memory_space=pltpu.VMEM)
         return dym, idx, g_blk, dym_spec, idx_spec, g_spec
 
-    def pxt_of(dym, g):
-        gs = g * 9 * w
-        lanes = np.arange(gs)
-        px_base = ((lanes % w) - 1 + (lanes // (g * w)) % 3).astype(np.float32)
-        return (dym[:, :, 1] + jnp.asarray(px_base))[..., None]
-
     if fused is False:
         g_f = 0                     # force the split kernels (tests/sweeps)
     elif block_rows:
@@ -499,7 +542,6 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
         g = g_f
         gw, gs = g * w, g * 9 * w
         dym, idx, g_blk, dym_spec, idx_spec, g_spec = prep(g)
-        pxt = pxt_of(dym, g)
         gt_blk = dout.astype(dt).reshape(b, h // g, gw, co)  # [B,H/G,GW,Co]
         xk = jnp.transpose(xd, (0, 1, 3, 2))                 # [B, H, C, W]
         dx_t, dcoord, dw = pl.pallas_call(
@@ -507,8 +549,6 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
             grid=(b, h // g),
             in_specs=[
                 dym_spec, idx_spec,
-                pl.BlockSpec((1, 1, gs, 1), lambda bi, r: (bi, r, 0, 0),
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, h, w, c), lambda bi, r: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
@@ -533,7 +573,7 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
             ],
             interpret=interp,
             compiler_params=_COMPILER_PARAMS,
-        )(dym, idx, pxt, xd, xk, g_blk, gt_blk, wstk)
+        )(dym, idx, xd, xk, g_blk, gt_blk, wstk)
         dx = jnp.transpose(dx_t, (0, 1, 3, 2)).astype(x.dtype)
         dpy, dpx, dmask = _unpack_dym(dcoord, h, w, g)
         doffset = jnp.stack([dpy, dpx], axis=-1).reshape(b, h, w, 18).astype(
@@ -547,22 +587,16 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
     g = g_dx
     gw, gs = g * w, g * 9 * w
     dym, idx, g_blk, dym_spec, idx_spec, g_spec = prep(g)
-    pxt = pxt_of(dym, g)                                     # [B, H/G, GS, 1]
     dx_t = pl.pallas_call(
         partial(_dx_kernel, h=h, w=w, c=c, co=co, g=g),
         grid=(b, h // g),
-        in_specs=[
-            dym_spec, idx_spec,
-            pl.BlockSpec((1, 1, gs, 1), lambda bi, r: (bi, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            g_spec, w_spec,
-        ],
+        in_specs=[dym_spec, idx_spec, g_spec, w_spec],
         out_specs=pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, c, w), jnp.float32),
         interpret=interp,
         compiler_params=_COMPILER_PARAMS,
-    )(dym, idx, pxt, g_blk, wstk)
+    )(dym, idx, g_blk, wstk)
     dx = jnp.transpose(dx_t, (0, 1, 3, 2)).astype(x.dtype)
 
     # --- d_offset / d_mask ---

@@ -234,7 +234,8 @@ def _pick_grouped_block_rows(h: int, w: int, c: int, co: int, nr: int,
     return g
 
 
-def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
+def _grouped_kernel(dym_ref, idx_ref, bnd_ref, dbase_ref, x_ref, w_ref,
+                    out_ref, *,
                     h: int, w: int, c: int, co: int, g: int, nr: int, mp: int):
     """MXU-packed variant of `_row_kernel` (exact bilinear for ANY |dy|).
 
@@ -252,7 +253,11 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
 
     Loop bounds are data-adaptive over the FULL height, so (unlike the
     windowed row sweep) every |dy| samples exactly — the `radius` cap applies
-    only to the `_row_kernel` path.
+    only to the `_row_kernel` path. The bounds arrive PRECOMPUTED per program
+    via the SMEM side input (XLA reduces them for free while packing dym —
+    the in-kernel cross-lane min/max reductions were measurable per-program
+    fixed cost), and the x-hat's row-column difference base is a resident
+    f32 constant (kills the per-program [W, GS] iota+convert).
     """
     rb = pl.program_id(1)
     gs = g * 9 * w
@@ -262,31 +267,32 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
     m = dym_ref[0, 0, 2:3]
     row_in_blk = idx_ref[0:1, :]
     t_row = idx_ref[1:2, :]
-    t_col = idx_ref[2:3, :]
-    w_pos = idx_ref[3:4, :]
 
     py = (rb * g - 1).astype(jnp.float32) + row_in_blk + t_row + dy
-    px = (w_pos - 1.0) + t_col + dx
-
-    rows_f = jax.lax.broadcasted_iota(jnp.int32, (w, gs), 0).astype(jnp.float32)
-    pxc = jnp.clip(px, -2.0, float(w + 1))
-    xhat = jnp.maximum(1.0 - jnp.abs(rows_f - pxc), 0.0)       # f32 [W, GS]
-
-    # Clip BEFORE floor/casts so huge offsets can't overflow; clipped values
+    # Clip so huge offsets can't overflow the f32 arithmetic; clipped values
     # land outside every row's unit hat support, i.e. contribute zero.
     pyc = jnp.clip(py, -2.0, float(h + 1))
-    y0 = jnp.floor(pyc)
-    fy = pyc - y0
-    lo = jnp.clip(jnp.min(y0), 0.0, float(h))
-    hi = jnp.clip(
-        jnp.max(y0 + jnp.where(fy > 0.0, 2.0, 1.0)), 0.0, float(h)
-    )
+
+    # x-hat in the COMPUTE dtype: only the row-column difference is formed in
+    # f32 (it spans [-W-2, W+2]; bf16 ulp at 128 is 1.0) — the abs/1-/max tail
+    # and the selector multiplies below then run at bf16 VPU width. Weight
+    # quantization: <= 2^-9 relative inside the hat support, <= 2^-9 ABSOLUTE
+    # at the support edge (|diff| near 1, bf16 ulp 2^-8) — both below bf16
+    # activation noise; f32 inputs are unaffected (dlt stays f32).
+    dxc = jnp.clip(dx, -float(w + 3), float(w + 3))
+    dlt = (dbase_ref[...] - dxc).astype(x_ref.dtype)
+    xhat_d = jnp.maximum(1.0 - jnp.abs(dlt), 0.0)              # dt [W, GS]
+
+    # SMEM scalars, whole [1, H/G, 2] slab per batch item (Mosaic requires
+    # block dims == array dims below the (8, 128) tile), indexed by rb.
+    lo = bnd_ref[0, rb, 0]
+    hi = bnd_ref[0, rb, 1]
 
     acc_dt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
 
     if nr > 1:
-        glo = lo.astype(jnp.int32) // nr
-        ghi = (hi.astype(jnp.int32) + nr - 1) // nr
+        glo = lo // nr
+        ghi = (hi + nr - 1) // nr
         ghi = jnp.maximum(ghi, glo)
         mf = m.astype(jnp.float32)
 
@@ -297,10 +303,9 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
             base = (grp * nr).astype(jnp.float32)
             sel = jnp.concatenate(
                 [
-                    (xhat
-                     * (jnp.maximum(1.0 - jnp.abs(pyc - (base + r)), 0.0)
-                        * mrow)
-                     ).astype(x_ref.dtype)
+                    xhat_d
+                    * (jnp.maximum(1.0 - jnp.abs(pyc - (base + r)), 0.0)
+                       * mrow).astype(x_ref.dtype)
                     for r in range(nr)
                 ],
                 axis=0,
@@ -333,10 +338,9 @@ def _grouped_kernel(dym_ref, idx_ref, x_ref, w_ref, out_ref, *,
         # accumulator directly (no zeros + add). Out-of-range programs are
         # still exact: every sample's hat support is empty there, so the
         # peeled iteration contributes am == 0.
-        xhat_d = xhat.astype(x_ref.dtype)
         mf = m.astype(jnp.float32)
-        plo = lo.astype(jnp.int32) // mp
-        phi = (hi.astype(jnp.int32) + mp - 1) // mp
+        plo = lo // mp
+        phi = (hi + mp - 1) // mp
         phi = jnp.maximum(phi, plo)
 
         def stacked_dot(p):
@@ -470,6 +474,18 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
             # to tile pressure than the halved iterations save. Pairs stay.
             mp = 2
     grouped = nr > 1 or mp >= 2
+    if not block_rows:
+        # Sweep knob (perf experiments only — the auto picks are the
+        # recorded optimum): CENTERPOSE_DCN_FWD_G="128:4,64:8" forces the
+        # row block per map height.
+        import os as _os
+
+        ov = _os.environ.get("CENTERPOSE_DCN_FWD_G", "")
+        if ov:
+            for pair in ov.split(","):
+                hh, _, gg = pair.partition(":")
+                if hh.strip() == str(h):
+                    block_rows = int(gg)
     if block_rows:
         g = block_rows
     elif grouped:
@@ -534,24 +550,56 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         xspec = pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM)
 
+    dym_spec = pl.BlockSpec((1, 1, 3, gs), lambda bi, r: (bi, r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((4, gs), lambda bi, r: (0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(tuple(wt.shape), lambda bi, r: (0,) * wt.ndim,
+                          memory_space=pltpu.VMEM)
     if grouped:
+        # Per-program loop bounds as SMEM scalars: XLA reduces the clipped
+        # sample y-coordinates to [lo, hi) per (batch, row block) — exactly
+        # the formula the kernel used to evaluate with cross-lane min/max
+        # reductions (floor/ceil commute with min/max/clip; y0 + (fy>0 ? 2:1)
+        # == ceil(pyc) + 1 for every fy).
+        off9 = offset.astype(jnp.float32).reshape(b, h, w, 9, 2)
+        rows = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+        trow = jnp.asarray(np.repeat(np.arange(3, dtype=np.float32), 3))
+        pyr = jnp.clip(rows - 1.0 + trow + off9[..., 0], -2.0, float(h + 1))
+        pyg = pyr.reshape(b, h // g, g * w * 9)
+        blo = jnp.clip(jnp.floor(jnp.min(pyg, axis=-1)), 0.0, float(h))
+        bhi = jnp.clip(jnp.ceil(jnp.max(pyg, axis=-1)) + 1.0, 0.0, float(h))
+        bnd = jnp.stack([blo, jnp.maximum(bhi, blo)], axis=-1).astype(
+            jnp.int32
+        )
+        # Resident f32 constant: dbase[r, l] = r - (w_pos(l) - 1 + t_col(l)),
+        # so the in-kernel x-hat build is one f32 subtract (dbase - dx)
+        # instead of an iota+convert+subtract over [W, GS].
+        lanes_np = np.arange(gs)
+        pxbase = ((lanes_np % w) - 1 + (lanes_np // (g * w)) % 3)
+        dbase = jnp.asarray(
+            np.arange(w, dtype=np.float32)[:, None] - pxbase[None, :]
+        )
         kernel = partial(_grouped_kernel, h=h, w=w, c=c, co=co, g=g, nr=nr,
                          mp=mp)
+        in_specs = [
+            dym_spec, idx_spec,
+            pl.BlockSpec((1, h // g, 2), lambda bi, r: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((w, gs), lambda bi, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            xspec, w_spec,
+        ]
+        operands = (dym, idx, bnd, dbase, xk, wt)
     else:
         kernel = partial(_row_kernel, h=h, w=w, c=c, co=co, radius=radius, g=g,
                          exact=exact)
+        in_specs = [dym_spec, idx_spec, xspec, w_spec]
+        operands = (dym, idx, xk, wt)
     out_t = pl.pallas_call(
         kernel,
         grid=(b, h // g),
-        in_specs=[
-            pl.BlockSpec((1, 1, 3, gs), lambda bi, r: (bi, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, gs), lambda bi, r: (0, 0),
-                         memory_space=pltpu.VMEM),
-            xspec,
-            pl.BlockSpec(tuple(wt.shape), lambda bi, r: (0,) * wt.ndim,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, co, g * w), lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h // g, co, g * w), x.dtype),
@@ -559,7 +607,7 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         # 'onehot' dcn_impl works on every backend (tests force CPU; the
         # serving CLIs expose --dcn_impl).
         interpret=(jax.default_backend() == "cpu"),
-    )(dym, idx, xk, wt)
+    )(*operands)
     out = jnp.transpose(
         out_t.reshape(b, h // g, co, g, w), (0, 1, 3, 4, 2)
     ).reshape(b, h, w, co)

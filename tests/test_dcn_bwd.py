@@ -57,6 +57,10 @@ def _ref_grads(x, off, m, wt, bi, g):
         (1, 16, 16, 8, 16, 3.5, False),     # multi-row windows, C != Co
         (2, 8, 16, 8, 8, 25.0, False),      # most samples fully off-image
         (2, 8, 16, 8, 8, 0.0, True),        # integer offsets (at-init case)
+        (1, 8, 16, 32, 8, 1.1, False),      # C > W: the w<c fold path
+        (1, 8, 16, 32, 8, 25.0, False),     # C > W, mostly off-image (gated
+                                            # peel on the y-hat side input)
+        (1, 8, 16, 32, 8, 0.0, True),       # C > W, integer offsets
         (1, 12, 24, 16, 8, 1.2, False),     # non-pow2 H/W (g=6, gw=144) - skip
     ],
 )
