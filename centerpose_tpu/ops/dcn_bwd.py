@@ -245,7 +245,7 @@ def _dw_kernel(dym_ref, idx_ref, xk_ref, gt_ref, out_ref, *,
 
 def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
                   w_ref, dx_ref, dc_ref, dw_ref, *,
-                  h: int, w: int, c: int, co: int, g: int):
+                  h: int, w: int, c: int, co: int, g: int, pair: bool):
     """All three backward computations in ONE program: the per-program fixed
     work (gs build, selector builds, coordinate decode, the row loop's
     machinery) is shared instead of paid 3x. Needs BOTH x layouts resident
@@ -272,7 +272,17 @@ def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
     The MASK rides the [W, GS] hat factor (one multiply per program) instead
     of a per-program [C, GS] gm copy. The first loop row is peeled into the
     carry init; empty ranges (every sample off-image) read a clamped row and
-    are zeroed by a scalar gate on the hat factors."""
+    are zeroed by a scalar gate on the hat factors.
+
+    pair=True (c <= w shapes, even H — the 128² C64 layers): input rows are
+    processed TWO per iteration with both rows' selectors stacked, filling
+    the MXU dims that C=64 half-fills: pq/pd contract K = 2C = 128 against
+    the paired x layout [H/2, W, 2C]; bxs contracts K = 2W against
+    [H/2, C, 2W]; the dX dot runs M = 2C = 128 and writes one [2C, W] pair
+    block into the paired [H/2, 2C, W] accumulator. Rows adjacent to the
+    [lo, hi) range that ride along in a pair contribute exactly zero (their
+    hat/corner supports are empty — same argument as the fy == 0 extra
+    row), so pairing is exact."""
     bi = pl.program_id(0)
     rb = pl.program_id(1)
 
@@ -284,6 +294,7 @@ def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
     def _():
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
+    assert not pair or (c <= w and h % 2 == 0), (pair, c, w, h)
     gs = g * 9 * w
     gw = g * w
     pyc, y0, fy, m, dxo = _common(dym_ref, idx_ref, rb, g, h)
@@ -349,17 +360,78 @@ def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
             )                                                # [C, W]
         return pq, pd, bxs, upd
 
-    def body(r, carry):
-        q, df, samp = carry
-        pq, pd, bxs, upd = row_terms(r, None)
-        dx_ref[0, r] = dx_ref[0, r] + upd.astype(dx_ref.dtype)
-        return q + pq, df + pd, samp + bxs
+    def pair_terms(p, gate):
+        """Two-row variant: rows (2p, 2p+1) share one iteration. Selector
+        stacks fill MXU K (pq/pd: 2C, bxs: 2W) and M (dX: 2C); the q/df/samp
+        contributions of both rows arrive pre-summed by the contraction."""
+        r0f = (2 * p).astype(jnp.float32)
+        yh0 = jnp.maximum(1.0 - jnp.abs(pyc - r0f), 0.0)
+        yh1 = jnp.maximum(1.0 - jnp.abs(pyc - (r0f + 1.0)), 0.0)
+        dyh0 = (y0 == r0f - 1.0).astype(jnp.float32) - (y0 == r0f).astype(
+            jnp.float32
+        )
+        dyh1 = (y0 == r0f).astype(jnp.float32) - (y0 == r0f + 1.0).astype(
+            jnp.float32
+        )
+        if gate is not None:
+            yh0 = yh0 * gate
+            yh1 = yh1 * gate
+            dyh0 = dyh0 * gate
+            dyh1 = dyh1 * gate
+        qsel2 = jnp.concatenate(
+            [yh0.astype(dt) * gsv, yh1.astype(dt) * gsv], axis=0
+        )                                                    # [2C, GS]
+        dsel2 = jnp.concatenate(
+            [dyh0.astype(dt) * gsv, dyh1.astype(dt) * gsv], axis=0
+        )
+        pq = jax.lax.dot_general(
+            x_ref[0, p], qsel2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [W, GS]
+        pd = jax.lax.dot_general(
+            x_ref[0, p], dsel2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sel2x = jnp.concatenate(
+            [yh0.astype(dt) * xhat_d, yh1.astype(dt) * xhat_d], axis=0
+        )                                                    # [2W, GS]
+        bxs = jax.lax.dot_general(
+            xk_ref[0, p], sel2x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [C, GS]
+        upd = jax.lax.dot_general(
+            qsel2, xhat_m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [2C, W]
+        return pq, pd, bxs, upd
 
-    r0 = jnp.minimum(lo, h - 1)
-    gate = (lo < hi).astype(jnp.float32)
-    q, df, samp, upd0 = row_terms(r0, gate)
-    dx_ref[0, r0] = dx_ref[0, r0] + upd0.astype(dx_ref.dtype)
-    q, df, samp = jax.lax.fori_loop(lo + 1, hi, body, (q, df, samp))
+    if pair:
+        def body(p, carry):
+            q, df, samp = carry
+            pq, pd, bxs, upd = pair_terms(p, None)
+            dx_ref[0, p] = dx_ref[0, p] + upd.astype(dx_ref.dtype)
+            return q + pq, df + pd, samp + bxs
+
+        plo = lo // 2
+        phi = (hi + 1) // 2
+        phi = jnp.maximum(phi, plo)
+        p0 = jnp.minimum(plo, h // 2 - 1)
+        gate = (plo < phi).astype(jnp.float32)
+        q, df, samp, upd0 = pair_terms(p0, gate)
+        dx_ref[0, p0] = dx_ref[0, p0] + upd0.astype(dx_ref.dtype)
+        q, df, samp = jax.lax.fori_loop(plo + 1, phi, body, (q, df, samp))
+    else:
+        def body(r, carry):
+            q, df, samp = carry
+            pq, pd, bxs, upd = row_terms(r, None)
+            dx_ref[0, r] = dx_ref[0, r] + upd.astype(dx_ref.dtype)
+            return q + pq, df + pd, samp + bxs
+
+        r0 = jnp.minimum(lo, h - 1)
+        gate = (lo < hi).astype(jnp.float32)
+        q, df, samp, upd0 = row_terms(r0, gate)
+        dx_ref[0, r0] = dx_ref[0, r0] + upd0.astype(dx_ref.dtype)
+        q, df, samp = jax.lax.fori_loop(lo + 1, hi, body, (q, df, samp))
 
     dxh = (lanes == x0 + 1.0).astype(jnp.float32) - (lanes == x0).astype(
         jnp.float32
@@ -412,7 +484,9 @@ def _pick_bwd_block_rows(h: int, w: int, c: int, co: int, itemsize: int,
                 + 16 * w * gs                     # q/df/pg f32 at peak
                 + 4 * c * gs * 4                  # samp/bx f32
                 + 3 * c * gs * itemsize           # gsv/sampm + fold temps
-                + 2 * max(c, w) * gs * itemsize   # qsel/dsel or yh-folded hats
+                # qsel2/dsel2 [2C, GS] + sel2x [2W, GS] (pair) / yh-folded
+                # hats (w < c)
+                + (2 * max(c, w) + 2 * c) * gs * itemsize
                 + 2 * gs * w * itemsize           # xhat_d + xhat_m
                 + 9 * c * gw * 4
                 + 2 * 9 * c * co * 4
@@ -543,37 +617,61 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
         gw, gs = g * w, g * 9 * w
         dym, idx, g_blk, dym_spec, idx_spec, g_spec = prep(g)
         gt_blk = dout.astype(dt).reshape(b, h // g, gw, co)  # [B,H/G,GW,Co]
-        xk = jnp.transpose(xd, (0, 1, 3, 2))                 # [B, H, C, W]
+        pair = c <= w and h % 2 == 0
+        if pair:
+            # Paired input-row layouts (see _fused_kernel): both built from
+            # one [B, H/2, 2, W, C] view of the NHWC input in XLA.
+            xp = xd.reshape(b, h // 2, 2, w, c)
+            x_in = jnp.transpose(xp, (0, 1, 3, 2, 4)).reshape(
+                b, h // 2, w, 2 * c
+            )                                                # [B,H/2,W,2C]
+            xk_in = jnp.transpose(xp, (0, 1, 4, 2, 3)).reshape(
+                b, h // 2, c, 2 * w
+            )                                                # [B,H/2,C,2W]
+            x_spec = pl.BlockSpec((1, h // 2, w, 2 * c),
+                                  lambda bi, r: (bi, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            xk_spec = pl.BlockSpec((1, h // 2, c, 2 * w),
+                                   lambda bi, r: (bi, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            dx_shape = (b, h // 2, 2 * c, w)
+        else:
+            x_in = xd
+            xk_in = jnp.transpose(xd, (0, 1, 3, 2))          # [B, H, C, W]
+            x_spec = pl.BlockSpec((1, h, w, c), lambda bi, r: (bi, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            xk_spec = pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            dx_shape = (b, h, c, w)
         dx_t, dcoord, dw = pl.pallas_call(
-            partial(_fused_kernel, h=h, w=w, c=c, co=co, g=g),
+            partial(_fused_kernel, h=h, w=w, c=c, co=co, g=g, pair=pair),
             grid=(b, h // g),
             in_specs=[
-                dym_spec, idx_spec,
-                pl.BlockSpec((1, h, w, c), lambda bi, r: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                g_spec,
+                dym_spec, idx_spec, x_spec, xk_spec, g_spec,
                 pl.BlockSpec((1, 1, gw, co), lambda bi, r: (bi, r, 0, 0),
                              memory_space=pltpu.VMEM),
                 w_spec,
             ],
             out_specs=[
-                pl.BlockSpec((1, h, c, w), lambda bi, r: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1,) + dx_shape[1:], lambda bi, r: (bi, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec((1, 1, 3, gs), lambda bi, r: (bi, r, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((9 * c, co), lambda bi, r: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((b, h, c, w), jnp.float32),
+                jax.ShapeDtypeStruct(dx_shape, jnp.float32),
                 jax.ShapeDtypeStruct((b, h // g, 3, gs), jnp.float32),
                 jax.ShapeDtypeStruct((9 * c, co), jnp.float32),
             ],
             interpret=interp,
             compiler_params=_COMPILER_PARAMS,
-        )(dym, idx, xd, xk, g_blk, gt_blk, wstk)
+        )(dym, idx, x_in, xk_in, g_blk, gt_blk, wstk)
+        if pair:
+            dx_t = dx_t.reshape(b, h // 2, 2, c, w).reshape(b, h, c, w)
         dx = jnp.transpose(dx_t, (0, 1, 3, 2)).astype(x.dtype)
         dpy, dpx, dmask = _unpack_dym(dcoord, h, w, g)
         doffset = jnp.stack([dpy, dpx], axis=-1).reshape(b, h, w, 18).astype(
