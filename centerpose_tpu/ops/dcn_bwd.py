@@ -245,7 +245,7 @@ def _dw_kernel(dym_ref, idx_ref, xk_ref, gt_ref, out_ref, *,
 
 def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
                   w_ref, dx_ref, dc_ref, dw_ref, *,
-                  h: int, w: int, c: int, co: int, g: int, pair: bool):
+                  h: int, w: int, c: int, co: int, g: int, pr: int):
     """All three backward computations in ONE program: the per-program fixed
     work (gs build, selector builds, coordinate decode, the row loop's
     machinery) is shared instead of paid 3x. Needs BOTH x layouts resident
@@ -274,15 +274,19 @@ def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
     carry init; empty ranges (every sample off-image) read a clamped row and
     are zeroed by a scalar gate on the hat factors.
 
-    pair=True (c <= w shapes, even H — the 128² C64 layers): input rows are
-    processed TWO per iteration with both rows' selectors stacked, filling
-    the MXU dims that C=64 half-fills: pq/pd contract K = 2C = 128 against
-    the paired x layout [H/2, W, 2C]; bxs contracts K = 2W against
-    [H/2, C, 2W]; the dX dot runs M = 2C = 128 and writes one [2C, W] pair
-    block into the paired [H/2, 2C, W] accumulator. Rows adjacent to the
-    [lo, hi) range that ride along in a pair contribute exactly zero (their
-    hat/corner supports are empty — same argument as the fy == 0 extra
-    row), so pairing is exact."""
+    pr > 1 groups input rows per loop iteration (pr | H; rows riding along
+    at the [lo, hi) edges contribute exactly zero — their hat/corner
+    supports are empty, same argument as the fy == 0 extra row — so
+    grouping is exact):
+      c <= w (128² C64, pr=2): both rows' selectors stack, filling the MXU
+        dims C=64 half-fills — pq/pd contract K = 2C = 128 against the
+        paired x layout [H/2, W, 2C]; bxs contracts K = 2W against
+        [H/2, C, 2W]; the dX dot runs M = 2C = 128 and writes one [2C, W]
+        block into the paired [H/2, 2C, W] accumulator.
+      w < c (64²+ C128+, pr = 128/W): pg runs ONE dot per group with
+        M = pr·W = 128 against [H/pr, pr·W, C] (a free NHWC reshape); bxs
+        contracts K = pr·W = 128 against [H/pr, C, pr·W]; the dX dot stays
+        per-row (M = C >= 128 already full), writing pr rows per group."""
     bi = pl.program_id(0)
     rb = pl.program_id(1)
 
@@ -294,7 +298,8 @@ def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
     def _():
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    assert not pair or (c <= w and h % 2 == 0), (pair, c, w, h)
+    assert pr == 1 or h % pr == 0, (pr, h)
+    assert pr == 1 or not (c <= w) or pr == 2, (pr, c, w)
     gs = g * 9 * w
     gw = g * w
     pyc, y0, fy, m, dxo = _common(dym_ref, idx_ref, rb, g, h)
@@ -405,7 +410,46 @@ def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
         )                                                    # [2C, W]
         return pq, pd, bxs, upd
 
-    if pair:
+    def group_terms(p, gate):
+        """w < c group variant: pr rows share one pg dot (M = pr·W) and one
+        bxs dot (K = pr·W); the dX updates stay per-row (M = C full)."""
+        base = (pr * p).astype(jnp.float32)
+        pg2 = jax.lax.dot_general(
+            x_ref[0, p], gsv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [pr·W, GS]
+        yhs, dyhs = [], []
+        for i in range(pr):
+            rf = base + float(i)
+            yh = jnp.maximum(1.0 - jnp.abs(pyc - rf), 0.0)
+            dyh = (y0 == rf - 1.0).astype(jnp.float32) - (y0 == rf).astype(
+                jnp.float32
+            )
+            if gate is not None:
+                yh = yh * gate
+                dyh = dyh * gate
+            yhs.append(yh)
+            dyhs.append(dyh)
+        pq = sum(yhs[i] * pg2[i * w:(i + 1) * w] for i in range(pr))
+        pd = sum(dyhs[i] * pg2[i * w:(i + 1) * w] for i in range(pr))
+        sel = jnp.concatenate(
+            [yhs[i].astype(dt) * xhat_d for i in range(pr)], axis=0
+        )                                                    # [pr·W, GS]
+        bxs = jax.lax.dot_general(
+            xk_ref[0, p], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [C, GS]
+        msel = m.astype(dt) * sel
+        upds = [
+            jax.lax.dot_general(
+                gsv, msel[i * w:(i + 1) * w], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [C, W]
+            for i in range(pr)
+        ]
+        return pq, pd, bxs, upds
+
+    if pr > 1 and fold_q:
         def body(p, carry):
             q, df, samp = carry
             pq, pd, bxs, upd = pair_terms(p, None)
@@ -419,6 +463,27 @@ def _fused_kernel(dym_ref, idx_ref, x_ref, xk_ref, g_ref, gt_ref,
         gate = (plo < phi).astype(jnp.float32)
         q, df, samp, upd0 = pair_terms(p0, gate)
         dx_ref[0, p0] = dx_ref[0, p0] + upd0.astype(dx_ref.dtype)
+        q, df, samp = jax.lax.fori_loop(plo + 1, phi, body, (q, df, samp))
+    elif pr > 1:
+        def body(p, carry):
+            q, df, samp = carry
+            pq, pd, bxs, upds = group_terms(p, None)
+            for i in range(pr):
+                dx_ref[0, pr * p + i] = (
+                    dx_ref[0, pr * p + i] + upds[i].astype(dx_ref.dtype)
+                )
+            return q + pq, df + pd, samp + bxs
+
+        plo = lo // pr
+        phi = (hi + pr - 1) // pr
+        phi = jnp.maximum(phi, plo)
+        p0 = jnp.minimum(plo, h // pr - 1)
+        gate = (plo < phi).astype(jnp.float32)
+        q, df, samp, upds0 = group_terms(p0, gate)
+        for i in range(pr):
+            dx_ref[0, pr * p0 + i] = (
+                dx_ref[0, pr * p0 + i] + upds0[i].astype(dx_ref.dtype)
+            )
         q, df, samp = jax.lax.fori_loop(plo + 1, phi, body, (q, df, samp))
     else:
         def body(r, carry):
@@ -617,8 +682,17 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
         gw, gs = g * w, g * 9 * w
         dym, idx, g_blk, dym_spec, idx_spec, g_spec = prep(g)
         gt_blk = dout.astype(dt).reshape(b, h // g, gw, co)  # [B,H/G,GW,Co]
-        pair = c <= w and h % 2 == 0
-        if pair:
+        if c <= w:
+            pr = 2 if h % 2 == 0 else 1
+        else:
+            # w < c: largest divisor of H with pr·W <= 128 (mirrors the
+            # forward's K-fold nr pick).
+            pr = 1
+            for d in range(min(max(1, 128 // w), h), 0, -1):
+                if h % d == 0:
+                    pr = d
+                    break
+        if pr > 1 and c <= w:
             # Paired input-row layouts (see _fused_kernel): both built from
             # one [B, H/2, 2, W, C] view of the NHWC input in XLA.
             xp = xd.reshape(b, h // 2, 2, w, c)
@@ -635,6 +709,17 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
                                    lambda bi, r: (bi, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
             dx_shape = (b, h // 2, 2 * c, w)
+        elif pr > 1:
+            # w < c: row groups stacked on SUBLANES — a free NHWC reshape.
+            x_in = xd.reshape(b, h // pr, pr * w, c)         # [B,H/pr,prW,C]
+            xk_in = jnp.transpose(x_in, (0, 1, 3, 2))        # [B,H/pr,C,prW]
+            x_spec = pl.BlockSpec((1, h // pr, pr * w, c),
+                                  lambda bi, r: (bi, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            xk_spec = pl.BlockSpec((1, h // pr, c, pr * w),
+                                   lambda bi, r: (bi, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            dx_shape = (b, h, c, w)
         else:
             x_in = xd
             xk_in = jnp.transpose(xd, (0, 1, 3, 2))          # [B, H, C, W]
@@ -644,7 +729,7 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
                                    memory_space=pltpu.VMEM)
             dx_shape = (b, h, c, w)
         dx_t, dcoord, dw = pl.pallas_call(
-            partial(_fused_kernel, h=h, w=w, c=c, co=co, g=g, pair=pair),
+            partial(_fused_kernel, h=h, w=w, c=c, co=co, g=g, pr=pr),
             grid=(b, h // g),
             in_specs=[
                 dym_spec, idx_spec, x_spec, xk_spec, g_spec,
@@ -670,7 +755,7 @@ def dcn_v2_grads(x, offset, mask, weight, bias, dout, *, block_rows: int = 0,
             interpret=interp,
             compiler_params=_COMPILER_PARAMS,
         )(dym, idx, x_in, xk_in, g_blk, gt_blk, wstk)
-        if pair:
+        if pr > 1 and c <= w:
             dx_t = dx_t.reshape(b, h // 2, 2, c, w).reshape(b, h, c, w)
         dx = jnp.transpose(dx_t, (0, 1, 3, 2)).astype(x.dtype)
         dpy, dpx, dmask = _unpack_dym(dcoord, h, w, g)

@@ -61,6 +61,9 @@ def _ref_grads(x, off, m, wt, bi, g):
         (1, 8, 16, 32, 8, 25.0, False),     # C > W, mostly off-image (gated
                                             # peel on the y-hat side input)
         (1, 8, 16, 32, 8, 0.0, True),       # C > W, integer offsets
+        (1, 32, 8, 32, 8, 3.5, False),      # C > W, multi-group row loop
+                                            # (pr=16, two groups, wide
+                                            # windows spanning group edges)
         (1, 12, 24, 16, 8, 1.2, False),     # non-pow2 H/W (g=6, gw=144) - skip
     ],
 )
