@@ -12,7 +12,11 @@ tunnel RTT is amortized enough for a stable figure; each step's loss is
 device_get-fetched (block_until_ready can return early on this platform).
 
 Env overrides: BENCH_TRAIN_BATCH, BENCH_TRAIN_DTYPE (float32|bfloat16),
-BENCH_TRAIN_DCN (gather|onehot), BENCH_TRAIN_BWD (auto|autodiff).
+BENCH_TRAIN_DCN (gather|onehot), BENCH_TRAIN_BWD (auto|autodiff),
+BENCH_TRAIN_ARCH (decomposition probes: dlav0_34 = no-DCN concat neck,
+dla_34 = DCN neck + plain heads — deltas vs dlav1_34 isolate the DCN and
+convGRU shares of the step), BENCH_TRAIN_RES (CPU smoke runs; the recorded
+protocol is 512).
 """
 
 import json
@@ -29,6 +33,8 @@ BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
 DTYPE = os.environ.get("BENCH_TRAIN_DTYPE", "bfloat16")
 DCN = os.environ.get("BENCH_TRAIN_DCN", "onehot")
 BWD = os.environ.get("BENCH_TRAIN_BWD", "auto")
+ARCH = os.environ.get("BENCH_TRAIN_ARCH", "dlav1_34")
+RES = int(os.environ.get("BENCH_TRAIN_RES", "512"))
 
 
 def main():
@@ -45,7 +51,7 @@ def main():
     )
 
     cfg = preset(
-        "centerpose", arch="dlav1_34", input_h=512, input_w=512,
+        "centerpose", arch=ARCH, input_h=RES, input_w=RES,
         dcn_impl=DCN, dcn_bwd=BWD, compute_dtype=DTYPE,
         remat_dcn=False, remat_stem=False,
     )
@@ -63,7 +69,7 @@ def main():
         )
         samples.append(render_targets([obj], cfg))
     batch = stack_batch(samples)
-    batch["input"] = rng.randn(BATCH, 512, 512, 3).astype(np.float32)
+    batch["input"] = rng.randn(BATCH, RES, RES, 3).astype(np.float32)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     model = create_model(cfg)
@@ -81,7 +87,7 @@ def main():
         times.append(time.perf_counter() - t0)
     img_s = BATCH / min(times)
     print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_512x512_dlav1_34_b{BATCH}",
+        "metric": f"train_images_per_sec_per_chip_{RES}x{RES}_{ARCH}_b{BATCH}",
         "value": round(img_s, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
