@@ -268,11 +268,15 @@ class CenterPoseConfig:
 
     @property
     def use_conv_gru(self) -> bool:
-        # dlav1 == DLA + DCN + convGRU chained heads (pose_dla_dcn.py:583-590);
-        # the tracking model also uses convGRU with a 4th step.
-        return self.arch.startswith("dlav1") or (
-            self.arch.startswith("dla") and self.tracking_task
-        )
+        # dlav1 == DLA + DCN + convGRU chained heads (the 'dlav1' model-factory
+        # entry is the ONLY one that passes use_convGRU=True —
+        # model.py:16-25, pose_dla_dcn.py:573-590). The shipped
+        # CenterPoseTrack config is dla_34 + tracking_task WITHOUT convGRU
+        # (main_CenterPoseTrack.py:126); the 4-step GRU with tracking-head
+        # routing exists only behind dlav1+tracking (pose_dla_dcn.py:473-477,
+        # 545-556, marked "Todo: We have not tried this idea yet") and is
+        # preserved here for that combination.
+        return self.arch.startswith("dlav1")
 
     @property
     def gru_steps(self) -> int:

@@ -16,7 +16,9 @@ BENCH_TRAIN_DCN (gather|onehot), BENCH_TRAIN_BWD (auto|autodiff),
 BENCH_TRAIN_ARCH (decomposition probes: dlav0_34 = no-DCN concat neck,
 dla_34 = DCN neck + plain heads — deltas vs dlav1_34 isolate the DCN and
 convGRU shares of the step), BENCH_TRAIN_RES (CPU smoke runs; the recorded
-protocol is 512).
+protocol is 512), BENCH_TRAIN_TRACK=1 (CenterPoseTrack: the track preset —
+dla_34 + pre_img/pre_hm/pre_hm_hp early-fusion stems + tracking heads,
+main_CenterPoseTrack.py:118-242 — with synthetic prev-frame inputs).
 """
 
 import json
@@ -35,6 +37,7 @@ DCN = os.environ.get("BENCH_TRAIN_DCN", "onehot")
 BWD = os.environ.get("BENCH_TRAIN_BWD", "auto")
 ARCH = os.environ.get("BENCH_TRAIN_ARCH", "dlav1_34")
 RES = int(os.environ.get("BENCH_TRAIN_RES", "512"))
+TRACK = os.environ.get("BENCH_TRAIN_TRACK", "") == "1"
 
 
 def main():
@@ -50,11 +53,13 @@ def main():
         make_train_step,
     )
 
-    cfg = preset(
-        "centerpose", arch=ARCH, input_h=RES, input_w=RES,
-        dcn_impl=DCN, dcn_bwd=BWD, compute_dtype=DTYPE,
-        remat_dcn=False, remat_stem=False,
+    kw = dict(
+        input_h=RES, input_w=RES, dcn_impl=DCN, dcn_bwd=BWD,
+        compute_dtype=DTYPE, remat_dcn=False, remat_stem=False,
     )
+    if not TRACK or "BENCH_TRAIN_ARCH" in os.environ:
+        kw["arch"] = ARCH
+    cfg = preset("centerpose_track" if TRACK else "centerpose", **kw)
     rng = np.random.RandomState(0)
     samples = []
     for _ in range(BATCH):
@@ -66,10 +71,19 @@ def main():
             ).astype(np.float32),
             keypoints_visible=np.ones((cfg.num_symmetry, 8), bool),
             scale_3d=np.array([1.0, 1.0, 1.0], np.float32),
+            tracking=np.array([1.5, -1.0], np.float32) if TRACK else None,
+            tracking_hp=rng.uniform(-2, 2, (8, 2)).astype(np.float32)
+            if TRACK else None,
         )
         samples.append(render_targets([obj], cfg))
     batch = stack_batch(samples)
     batch["input"] = rng.randn(BATCH, RES, RES, 3).astype(np.float32)
+    if TRACK:
+        # Synthetic prev-frame inputs (the dataset renders these from the
+        # previous frame's GT/detections; the step cost is shape-driven).
+        batch["pre_img"] = rng.randn(BATCH, RES, RES, 3).astype(np.float32)
+        batch["pre_hm"] = rng.rand(BATCH, RES, RES, 1).astype(np.float32)
+        batch["pre_hm_hp"] = rng.rand(BATCH, RES, RES, 8).astype(np.float32)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     model = create_model(cfg)
@@ -87,7 +101,10 @@ def main():
         times.append(time.perf_counter() - t0)
     img_s = BATCH / min(times)
     print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_{RES}x{RES}_{ARCH}_b{BATCH}",
+        "metric": (
+            f"train_images_per_sec_per_chip_{RES}x{RES}_"
+            f"{'track_' if TRACK else ''}{cfg.arch}_b{BATCH}"
+        ),
         "value": round(img_s, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),

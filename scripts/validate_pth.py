@@ -73,17 +73,31 @@ def validate(pth, arch="dlav1_34", tracking=False, res=512, atol=1e-3,
 
     rng = np.random.RandomState(0)
     x = rng.uniform(-1, 1, (1, 3, res, res)).astype(np.float32)
-    t_out = torch_ref.torch_forward(tmodel, x)
+    extra = {}
+    if tracking:
+        # Exercise the pre_img/pre_hm/pre_hm_hp early-fusion stems too
+        # (pose_dla_dcn.py:523-526 skips them when the inputs are None).
+        extra = {
+            "pre_img": rng.uniform(-1, 1, (1, 3, res, res)).astype(np.float32),
+            "pre_hm": rng.uniform(0, 1, (1, 1, res, res)).astype(np.float32),
+            "pre_hm_hp": rng.uniform(0, 1, (1, 8, res, res)).astype(np.float32),
+        }
+        t_out = torch_ref.torch_forward_extra(tmodel, x, extra)
+    else:
+        t_out = torch_ref.torch_forward(tmodel, x)
 
     # Our model with the converted weights.
     model = create_model(cfg)
     x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
-    variables = model.init(jax.random.PRNGKey(0), x_nhwc)
+    jkw = {
+        k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in extra.items()
+    }
+    variables = model.init(jax.random.PRNGKey(0), x_nhwc, **jkw)
     np_sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
     converted = convert_state_dict(
         np_sd, jax.tree.map(np.asarray, variables), use_gn=cfg.use_conv_gru
     )
-    j_out = model.apply(converted, x_nhwc, train=False)
+    j_out = model.apply(converted, x_nhwc, train=False, **jkw)
 
     ok = True
     devs = {}

@@ -44,12 +44,15 @@ def _build_and_compare(cfg, arch, tracking=False, offset_noise=0.0,
 
     model = create_model(cfg)
     x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
-    variables = model.init(jax.random.PRNGKey(0), x_nhwc)
+    jkw = {} if extra_inputs is None else {
+        k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in extra_inputs.items()
+    }
+    variables = model.init(jax.random.PRNGKey(0), x_nhwc, **jkw)
     sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
     converted = convert_state_dict(
         sd, jax.tree.map(np.asarray, variables), use_gn=cfg.use_conv_gru
     )
-    j_out = model.apply(converted, x_nhwc, train=False)
+    j_out = model.apply(converted, x_nhwc, train=False, **jkw)
 
     assert set(j_out) == set(t_out), (set(j_out), set(t_out))
     for head in t_out:
@@ -90,6 +93,21 @@ class TestForwardParity:
         # deformable sampling path is exercised for real.
         cfg = preset("centerpose_dla", input_h=RES, input_w=RES)
         _build_and_compare(cfg, "dla_34", offset_noise=0.01, atol=2e-4)
+
+    def test_dla_34_tracking_stems(self):
+        # CenterPoseTrack model: dla_34 + pre_img/pre_hm/pre_hm_hp early-fusion
+        # stems (pose_dla_dcn.py:253-318) + tracking/tracking_hp heads
+        # (main_CenterPoseTrack.py head wiring) — the one reference model
+        # variant the per-arch tests above don't reach.
+        cfg = preset("centerpose_track", input_h=RES, input_w=RES)
+        rng = np.random.RandomState(3)
+        extra = {
+            "pre_img": rng.uniform(-1, 1, (1, 3, RES, RES)).astype(np.float32),
+            "pre_hm": rng.uniform(0, 1, (1, 1, RES, RES)).astype(np.float32),
+            "pre_hm_hp": rng.uniform(0, 1, (1, 8, RES, RES)).astype(np.float32),
+        }
+        _build_and_compare(cfg, "dla_34", tracking=True, offset_noise=0.01,
+                           atol=2e-4, extra_inputs=extra)
 
     def test_dlav1_34_convgru(self):
         cfg = preset("centerpose", input_h=RES, input_w=RES)

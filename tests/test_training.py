@@ -84,6 +84,55 @@ class TestTrainStep:
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
 
+    def test_overfit_synthetic_scene(self):
+        """End-to-end learning check: Adam steps on ONE fixed synthetic scene
+        must (a) collapse the loss and (b) make the decoded top detection
+        land on the GT object center — proving the heads, losses, gradients
+        and decode all agree on the same geometry (the reference's equivalent
+        evidence is a real training run; this is the CI-sized version).
+
+        The focal hm loss sits on a plateau (~9.2) until the sigmoid escapes
+        the −2.19 head-bias regime, then collapses to ~0 within ~25 steps
+        (observed at step ~275 with this seed/lr) — hence the 400-step cap
+        with an early exit rather than a fixed small count. ~5 min on the
+        1-core CI host."""
+        from centerpose_tpu.ops.decode import object_pose_decode
+
+        cfg = preset(
+            "centerpose", arch="res_18", input_h=64, input_w=64, lr=2.5e-3
+        )
+        model = create_model(cfg)
+        state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, tx)
+        batch = {k: jnp.asarray(v) for k, v in _tiny_batch(cfg, 2).items()}
+        state, stats = step(state, batch)
+        loss0 = float(stats["loss"])
+        loss_end = loss0
+        # Exit only once the collapse has COMPLETED (0.05×: the hm focal term
+        # is ~0 there and the decoded peak is sharp — at 0.1× the peak is
+        # still mid-collapse and decodes at score <0.3).
+        for _ in range(400):
+            state, stats = step(state, batch)
+            loss_end = float(stats["loss"])
+            if loss_end < 0.05 * loss0:
+                break
+        assert np.isfinite(loss_end)
+        assert loss_end < 0.05 * loss0, (loss0, loss_end)
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = model.apply(variables, batch["input"], train=False)
+        outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
+        dets = object_pose_decode(
+            outputs, k=cfg.K, rep_mode=cfg.rep_mode, inference=True,
+            fit_gaussian=False,
+        )
+        score = float(dets["scores"][0, 0, 0])
+        box = np.asarray(dets["bboxes"][0, 0])
+        cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+        # GT center is (8, 8) on the stride-4 output grid (_tiny_batch).
+        assert score > 0.3, score
+        assert abs(cx - 8.0) <= 1.5 and abs(cy - 8.0) <= 1.5, (cx, cy)
+
     def test_multichip_mesh_step(self):
         n = len(jax.devices())
         assert n == 8, f"conftest should provide 8 virtual devices, got {n}"

@@ -67,6 +67,28 @@ def test_validate_pth_roundtrip(tmp_path, arch, offset_noise, atol):
     assert devs  # at least one head compared
 
 
+def test_validate_pth_tracking(tmp_path):
+    """CenterPoseTrack checkpoints: dla_34 + pre_img/pre_hm/pre_hm_hp stems +
+    tracking heads (main_CenterPoseTrack.py:118-242), validated with the
+    early-fusion inputs fed to both models."""
+    import torch
+
+    from centerpose_tpu.config import preset
+
+    cfg = preset("centerpose_track", input_h=RES, input_w=RES)
+    tmodel = torch_ref.build_ref_model(
+        "dla_34", dict(cfg.heads), cfg.head_conv, tracking=True
+    )
+    torch_ref.randomize_state(tmodel, seed=7, offset_noise=0.01)
+    path = str(tmp_path / "track.pth")
+    torch.save({"epoch": 15, "state_dict": tmodel.state_dict()}, path)
+    ok, devs = validate(
+        path, arch="dla_34", tracking=True, res=RES, atol=2e-4, verbose=False
+    )
+    assert ok, "deviations: " + ", ".join(f"{h}={v:.2e}" for h, v in devs.items())
+    assert "tracking" in devs and "tracking_hp" in devs
+
+
 def test_validate_pth_bare_state_dict(tmp_path):
     """model.py:40 also accepts a bare state_dict (no {epoch, ...} wrapper)."""
     import torch

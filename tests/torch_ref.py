@@ -195,3 +195,17 @@ def torch_forward(model, x_nchw: np.ndarray) -> dict:
         outs = model(torch.from_numpy(x_nchw))
     out = outs[-1] if isinstance(outs, (list, tuple)) else outs
     return {k: v.numpy() for k, v in out.items()}
+
+
+def torch_forward_extra(model, x_nchw: np.ndarray, extra: dict) -> dict:
+    """Forward with the tracking early-fusion inputs (NCHW numpy): DLASeg's
+    pre_img/pre_hm/pre_hm_hp kwargs (pose_dla_dcn.py:523-526)."""
+    import torch
+
+    with torch.no_grad():
+        outs = model(
+            torch.from_numpy(x_nchw),
+            **{k: torch.from_numpy(v) for k, v in extra.items()},
+        )
+    out = outs[-1] if isinstance(outs, (list, tuple)) else outs
+    return {k: v.numpy() for k, v in out.items()}
