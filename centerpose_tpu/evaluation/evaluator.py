@@ -476,7 +476,15 @@ def evaluate_tfrecords(
     if is_cup and relabel is None:
         relabel = RelabelLists.resolve()  # $CENTERPOSE_LABEL_DIR, may be None
     if is_cup and relabel is None:
-        relabel = RelabelLists()  # empty lists: everything is a mug
+        # Empty lists: every instance routes as a mug (parser.py:159-165
+        # default). Loud, because with a mug detector configured this means
+        # the cup sub-model never runs.
+        print(
+            "WARNING: cup evaluation without relabel lists "
+            "(--label_dir / $CENTERPOSE_LABEL_DIR unset) — every instance "
+            "is treated as a mug", flush=True,
+        )
+        relabel = RelabelLists()
     rng = np.random.RandomState(0)
     count = 0
     prev_boxes = []

@@ -89,10 +89,17 @@ class RelabelLists:
     def resolve(cls, label_dir: Optional[str] = None) -> Optional["RelabelLists"]:
         """Resolve a label dir from the argument or $CENTERPOSE_LABEL_DIR;
         None when neither is set (cup eval then treats everything as mug,
-        matching an empty cup_list)."""
+        matching an empty cup_list). A dir that WAS configured but does not
+        exist raises — silently degrading a typo'd --label_dir to all-mug
+        routing would skew every cup metric."""
         d = label_dir or os.environ.get("CENTERPOSE_LABEL_DIR")
-        if not d or not os.path.isdir(d):
+        if not d:
             return None
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"relabel label_dir {d!r} is not a directory (from "
+                f"{'--label_dir' if label_dir else '$CENTERPOSE_LABEL_DIR'})"
+            )
         return cls.from_dir(d)
 
     # ------------------------------------------------------------------ flags

@@ -583,14 +583,19 @@ def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
         kernel = partial(_grouped_kernel, h=h, w=w, c=c, co=co, g=g, nr=nr,
                          mp=mp)
         in_specs = [
-            dym_spec, idx_spec,
+            dym_spec,
+            # The grouped kernel reads only idx rows 0-1 (row_in_block,
+            # tap_row) — tap_col/out_column are superseded by the resident
+            # dbase constant; don't ship the dead rows.
+            pl.BlockSpec((2, gs), lambda bi, r: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h // g, 2), lambda bi, r: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((w, gs), lambda bi, r: (0, 0),
                          memory_space=pltpu.VMEM),
             xspec, w_spec,
         ]
-        operands = (dym, idx, bnd, dbase, xk, wt)
+        operands = (dym, idx[:2], bnd, dbase, xk, wt)
     else:
         kernel = partial(_row_kernel, h=h, w=w, c=c, co=co, radius=radius, g=g,
                          exact=exact)

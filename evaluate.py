@@ -251,7 +251,6 @@ def main():
             "mug_only": args.mug_only,
             "eval_mug_symmetric": args.eval_mug_symmetric,
         }
-        detector_mug, mug_eval_kw = _build_mug_detector(cfg, mug_kw)
         hard_ids = _hard_case_filter(args)
         if args.tfrecords:
             import glob as _glob
@@ -295,6 +294,10 @@ def main():
                     evaluator.load_and_merge(path)
                     os.unlink(path)
             else:
+                # Built here, NOT before the n_proc fork: each spawn worker
+                # rebuilds its own mug detector from mug_kw, so a parent-side
+                # build would just hold duplicate weights for the whole run.
+                detector_mug, mug_eval_kw = _build_mug_detector(cfg, mug_kw)
                 evaluator = evaluate_tfrecords(
                     detector, records, cfg,
                     max_images=args.max_images or None,
@@ -341,6 +344,10 @@ def main():
         ds = ObjectPoseDataset(args.data_dir, cfg, split="val")
 
         def run_val(state):
+            # Sample-count-weighted averages of the per-batch means — the
+            # reference's AverageMeter semantics (base_trainer.py
+            # update(loss, batch.size(0))); equal-weighting batch means would
+            # over-weight the tail partial batch.
             agg, n = {}, 0
             buf = []
 
@@ -350,9 +357,10 @@ def main():
                 if batch is None:
                     return
                 stats = eval_fn(state, batch)
-                n += 1
+                bs = len(buf)
+                n += bs
                 for k, v in stats.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                    agg[k] = agg.get(k, 0.0) + float(v) * bs
 
             for i in range(len(ds)):
                 item = ds[i]
