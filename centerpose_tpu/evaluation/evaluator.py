@@ -336,34 +336,39 @@ class EvalAblation:
     centerpose_init: bool = False
 
 
-def _detector_pre_dets(boxes):
+def _detector_pre_dets(boxes, width, height):
     """Tracker-seed detections from a CenterPose image model's PnP-validated
-    boxes (eval_video_official.py predict :392-480, MODE_5)."""
+    boxes (eval_video_official.py:338-380, MODE_5): the seed keypoints are the
+    PnP-projected cuboid (box_point_2d, normalized 9x2) scaled to pixels —
+    not the raw detection kps — with the same near-zero-uncertainty full
+    field template as the GT seeds."""
     dets = []
-    for _, _, scale_pred, _, det in boxes:
-        kps = np.asarray(det["kps"], np.float64).reshape(-1, 2)
-        bbox = np.asarray(
-            det.get(
-                "bbox",
-                [kps[:, 0].min(), kps[:, 1].min(), kps[:, 0].max(), kps[:, 1].max()],
-            ),
-            np.float64,
+    for proj9, _, scale_pred, _, det in boxes:
+        kps9 = np.asarray(proj9, np.float64)[:, :2].copy()
+        kps9[:, 0] *= width
+        kps9[:, 1] *= height
+        bbox = np.array(
+            [kps9[:, 0].min(), kps9[:, 1].min(), kps9[:, 0].max(), kps9[:, 1].max()]
         )
+        kps16 = kps9[1:].reshape(-1)
         dets.append(
             {
-                "score": float(det.get("score", 1.0)),
-                "cls": int(det.get("cls", 0)),
+                "score": 1.0,
+                "cls": 0,
                 "bbox": bbox,
-                "ct": det.get(
-                    "ct", [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2]
-                ),
-                "kps": kps.reshape(-1),
+                "ct": [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2],
+                "kps": kps16,
                 "tracking": np.zeros(2),
                 "tracking_hp": np.zeros(16),
                 "obj_scale": np.asarray(scale_pred, np.float64),
-                "obj_scale_uncertainty": np.asarray(
-                    det.get("obj_scale_uncertainty", np.full(3, 0.1))
-                ),
+                "obj_scale_uncertainty": np.ones(3) * 1e-4,
+                "kps_displacement_mean": kps16,
+                "kps_displacement_std": np.ones(16) * 1e-4,
+                "kps_heatmap_mean": kps16,
+                "kps_heatmap_std": np.ones(16) * 1e-4,
+                "kps_heatmap_height": np.ones(8),
+                "kps_fusion_mean": kps16,
+                "kps_fusion_std": np.ones(16) * 1e-4,
             }
         )
     return dets
@@ -383,17 +388,28 @@ def _gt_pre_dets(instances, width, height, rng, ablation: EvalAblation):
             [kps_px[:, 0].min(), kps_px[:, 1].min(),
              kps_px[:, 0].max(), kps_px[:, 1].max()]
         )
+        kps16 = kps_px.reshape(-1)
         dets.append(
             {
                 "score": 1.0,
                 "cls": 0,
                 "bbox": bbox,
                 "ct": [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2],
-                "kps": kps_px.reshape(-1),
+                "kps": kps16,
                 "tracking": np.zeros(2),
                 "tracking_hp": np.zeros(16),
                 "obj_scale": gt.scale / max(gt.scale[1], 1e-9),
-                "obj_scale_uncertainty": np.full(3, 0.1),
+                # Full seed field template (eval_video_official.py:361-380):
+                # near-zero uncertainties so the seed dominates the KF and
+                # scale pool, and fusion stats so init_track builds a KF.
+                "obj_scale_uncertainty": np.ones(3) * 1e-4,
+                "kps_displacement_mean": kps16,
+                "kps_displacement_std": np.ones(16) * 1e-4,
+                "kps_heatmap_mean": kps16,
+                "kps_heatmap_std": np.ones(16) * 1e-4,
+                "kps_heatmap_height": np.ones(8),
+                "kps_fusion_mean": kps16,
+                "kps_fusion_std": np.ones(16) * 1e-4,
             }
         )
     return dets
@@ -552,7 +568,9 @@ def evaluate_tfrecords(
                 and init_detector is not None
             ):
                 init_out = init_detector.run(img, input_meta or None)
-                input_meta["pre_dets"] = _detector_pre_dets(init_out["boxes"])
+                input_meta["pre_dets"] = _detector_pre_dets(
+                    init_out["boxes"], w, h
+                )
             elif is_video and fidx == 0 and ablation.gt_pre_hm_first:
                 input_meta["pre_dets"] = _gt_pre_dets(
                     instances, w, h, rng, ablation

@@ -56,6 +56,43 @@ DEFAULT_CAMERA = np.array(
 )  # demo.py:141-144
 
 
+def pnp_shell_epilogue(cuboid, rotation_gl, translation_gl, projected,
+                       width, height, category, kps):
+    """Shared pnp_shell epilogue (cuboid_pnp_shell.py:31-93): GL pose →
+    9-point camera-frame corners + width/height-normalized projections,
+    category visibility rejection, normalized source keypoints.
+
+    Returns (proj9, pts3d, kps9, ok) — pts3d/proj9 are computed even when
+    `ok` is False so callers can keep attaching them to rejected detections
+    (Detector.run_pnp does). Used by both run_pnp and the tracker's batched
+    re-PnP (tracker.py _re_pnp_batch)."""
+    pts3d = cuboid @ rotation_gl.T + translation_gl
+    pts3d = np.vstack([pts3d.mean(axis=0, keepdims=True), pts3d])
+    proj9 = np.vstack(
+        [projected.mean(axis=0, keepdims=True), projected]
+    ).astype(np.float64)
+    proj9[:, 0] /= width
+    proj9[:, 1] /= height
+
+    ok = True
+    thresh = _NUM_NOT_VISIBLE_THRESH.get(category)
+    if thresh is not None:
+        out = (
+            (proj9[:, 0] < 0) | (proj9[:, 0] > 1)
+            | (proj9[:, 1] < 0) | (proj9[:, 1] > 1)
+        ).sum()
+        if out >= thresh:
+            ok = False
+    if not (0 < proj9[0, 0] < 1 and 0 < proj9[0, 1] < 1):
+        ok = False
+
+    kps9 = np.asarray(kps, np.float64).reshape(-1, 2)
+    kps9 = np.vstack([kps9.mean(axis=0, keepdims=True), kps9])
+    kps9[:, 0] /= width
+    kps9[:, 1] /= height
+    return proj9, pts3d, kps9, ok
+
+
 class Detector:
     """Single-category CenterPose detector (image model or tracking model)."""
 
@@ -353,39 +390,16 @@ class Detector:
             det["quaternion_xyzw"] = quaternion.tolist()
             det["projected_cuboid"] = res.projected[m]
 
-            # 3D corners in camera frame from the OpenGL pose (pnp_shell:31-44).
-            r_gl = res.rotation_gl[m]
-            pts3d = cuboids[m] @ r_gl.T + location
-            pts3d = np.vstack([pts3d.mean(axis=0, keepdims=True), pts3d])
-            det["kps_3d_cam"] = pts3d
-
-            proj = res.projected[m]
-            proj9 = np.vstack([proj.mean(axis=0, keepdims=True), proj]).astype(
-                np.float64
+            # 3D corners, normalized projections, visibility rejection
+            # (pnp_shell:31-93) — shared with the tracker's re-PnP.
+            proj9, pts3d, kps9, ok = pnp_shell_epilogue(
+                cuboids[m], res.rotation_gl[m], location, res.projected[m],
+                meta["width"], meta["height"], cat, det["kps"],
             )
-            proj9[:, 0] /= meta["width"]
-            proj9[:, 1] /= meta["height"]
+            det["kps_3d_cam"] = pts3d
             det["kps_pnp"] = proj9
-
-            # Visibility rejection (pnp_shell:59-79).
-            thresh = _NUM_NOT_VISIBLE_THRESH.get(cat)
-            if thresh is not None:
-                out = (
-                    (proj9[:, 0] < 0)
-                    | (proj9[:, 0] > 1)
-                    | (proj9[:, 1] < 0)
-                    | (proj9[:, 1] > 1)
-                ).sum()
-                if out >= thresh:
-                    continue
-            c0 = proj9[0]
-            if not (0 < c0[0] < 1 and 0 < c0[1] < 1):
+            if not ok:
                 continue
-
-            kps9 = np.asarray(det["kps"], np.float64).reshape(-1, 2)
-            kps9 = np.vstack([kps9.mean(axis=0, keepdims=True), kps9])
-            kps9[:, 0] /= meta["width"]
-            kps9[:, 1] /= meta["height"]
             boxes.append(
                 (proj9, pts3d, np.array(det["obj_scale"]), kps9, det)
             )

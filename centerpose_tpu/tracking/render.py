@@ -104,6 +104,14 @@ def render_previous_heatmaps(
 
         if "kf" in det:
             conf = det["kf"].confidence(cfg.conf_border)
+            # "Sometimes, heatmap is missing" (base_detector.py:317-324):
+            # joints whose current-frame peak is absent carry the -10000
+            # kps_heatmap_std sentinel (int radius <= 0) and are NOT drawn,
+            # even though the KF still has confidence in them.
+            std0 = np.asarray(
+                det.get("kps_heatmap_std", np.ones(2 * j))
+            ).reshape(-1, 2)[:, 0]
+            conf = np.where(std0.astype(np.int32) > 0, conf, 0.0)
         else:
             conf = np.asarray(det.get("kps_heatmap_height", np.ones(j)))
         conf = np.clip(conf, 0.0, 1.0)

@@ -18,8 +18,7 @@ linear_assignment).
 
 from __future__ import annotations
 
-import copy
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -110,6 +109,15 @@ class Tracker:
     def _pool(self, scale_pool):
         return _pool_scale(scale_pool)
 
+    def _track_centers(self) -> np.ndarray:
+        """Track centers for the association distance matrix. The baseline
+        tracker overrides this with KF-velocity-shifted centers computed
+        LOCALLY (tracker_baseline.py:134-140 keeps track['ct'] itself static
+        for unmatched tracks)."""
+        return np.array(
+            [t["ct"] for t in self.tracks], np.float32
+        ).reshape(len(self.tracks), 2)
+
     # ------------------------------------------------------------------ step
     def step(self, dets: List[dict], boxes: List[tuple], meta: Optional[dict] = None):
         cfg = self.cfg
@@ -132,9 +140,7 @@ class Tracker:
         dets_center = np.array(
             [np.asarray(d["ct"]) + np.asarray(d["tracking"]) for d in dets], np.float32
         ).reshape(n, 2)
-        tracks_center = np.array(
-            [t["ct"] for t in self.tracks], np.float32
-        ).reshape(m, 2)
+        tracks_center = self._track_centers()
         track_size = np.array(
             [
                 (t["bbox"][2] - t["bbox"][0]) * (t["bbox"][3] - t["bbox"][1])
@@ -267,6 +273,22 @@ class Tracker:
             track["kps_3d_cam_kf"] = ret_pnp[1]
             track["kps_ori_kf"] = ret_pnp[3]
 
+        if len(pnp_inputs) > cfg.max_tracks:
+            # Tracks beyond the fixed device-solve slots keep their UNREFINED
+            # PnP box from this frame (the reference has no cap; silently
+            # dropping valid detections would hide them from eval and the
+            # pre-heatmap render).
+            print(
+                f"WARNING: {len(pnp_inputs)} tracks exceed max_tracks="
+                f"{cfg.max_tracks}; overflow boxes pass through un-refined",
+                flush=True,
+            )
+            refine_input = {id(b[4]): b for b in boxes}
+            for track, _, _, _ in pnp_inputs[cfg.max_tracks:]:
+                box = refine_input.get(id(track))
+                if box is not None:
+                    new_boxes.append(box)
+
         self.tracks = ret
         return ret, new_boxes
 
@@ -283,7 +305,7 @@ class Tracker:
         import jax.numpy as jnp
 
         from centerpose_tpu.geometry.cuboid import cuboid_vertices
-        from centerpose_tpu.inference.detector import _NUM_NOT_VISIBLE_THRESH
+        from centerpose_tpu.inference.detector import pnp_shell_epilogue
         from centerpose_tpu.ops.pnp import solve_pnp_batch
 
         if self.meta is None or "camera_matrix" not in self.meta or not items:
@@ -314,31 +336,14 @@ class Tracker:
             track["location"] = location.tolist()
             track["quaternion_xyzw"] = res.quaternion_gl[i].tolist()
 
-            r_gl = res.rotation_gl[i].astype(np.float64)
-            pts3d = cuboids[i] @ r_gl.T + location
-            pts3d = np.vstack([pts3d.mean(axis=0, keepdims=True), pts3d])
-
-            proj = np.asarray(res.projected[i], np.float64)
-            proj9 = np.vstack([proj.mean(axis=0, keepdims=True), proj])
-            proj9[:, 0] /= self.meta["width"]
-            proj9[:, 1] /= self.meta["height"]
-
-            thresh = _NUM_NOT_VISIBLE_THRESH.get(self.cfg.category)
-            if thresh is not None:
-                out = (
-                    (proj9[:, 0] < 0) | (proj9[:, 0] > 1)
-                    | (proj9[:, 1] < 0) | (proj9[:, 1] > 1)
-                ).sum()
-                if out >= thresh:
-                    outs.append(None)
-                    continue
-            if not (0 < proj9[0, 0] < 1 and 0 < proj9[0, 1] < 1):
+            proj9, pts3d, kps9, ok = pnp_shell_epilogue(
+                cuboids[i], res.rotation_gl[i].astype(np.float64), location,
+                np.asarray(res.projected[i], np.float64),
+                self.meta["width"], self.meta["height"], self.cfg.category,
+                track["kps"],
+            )
+            if not ok:
                 outs.append(None)
                 continue
-
-            kps9 = np.asarray(track["kps"], np.float64).reshape(-1, 2)
-            kps9 = np.vstack([kps9.mean(axis=0, keepdims=True), kps9])
-            kps9[:, 0] /= self.meta["width"]
-            kps9[:, 1] /= self.meta["height"]
             outs.append((proj9, pts3d, np.asarray(track["obj_scale"]), kps9, track))
         return outs

@@ -23,18 +23,25 @@ from centerpose_tpu.tracking.tracker import Tracker
 
 class TrackerBaseline(Tracker):
     def step(self, dets: List[dict], boxes: List[tuple], meta: Optional[dict] = None):
-        # Shift each track's center by its mean KF velocity before association,
-        # then run the shared association/update skeleton.
-        for track in self.tracks:
-            if "kf" in track:
-                v = track["kf"].mean_velocity
-                ct = np.asarray(track["ct"], np.float64)
-                track["ct"] = (ct + v).tolist()
         # Detections carry no tracking offset in plain CenterPose.
         for det in dets:
             det.setdefault("tracking", np.zeros(2))
             det.setdefault("tracking_hp", np.zeros(16))
         return super().step(dets, boxes, meta)
+
+    def _track_centers(self) -> np.ndarray:
+        # Association predicts each track's center with its mean KF velocity
+        # — computed LOCALLY for the distance matrix only
+        # (tracker_baseline.py:134-140 `tracks_center`); track['ct'] itself
+        # stays at the last detection, so an unmatched track does not
+        # accumulate velocity drift across missed frames.
+        centers = []
+        for track in self.tracks:
+            ct = np.asarray(track["ct"], np.float64)
+            if "kf" in track:
+                ct = ct + track["kf"].mean_velocity
+            centers.append(ct)
+        return np.array(centers, np.float32).reshape(len(self.tracks), 2)
 
     # --- overrides of the KF interaction points --------------------------------
     def _kf_init(self, det: dict) -> KeypointKalman:
@@ -44,6 +51,12 @@ class TrackerBaseline(Tracker):
             np.zeros(16),
             self.cfg.kf_r_velocity,
         )
+        # The reference baseline leaves P0's velocity blocks at the filterpy
+        # default (1), assigning only the x/y block (tracker_baseline.py:71 —
+        # whose [[sx2, sy2]] broadcast also fills the off-diagonals; kept as
+        # the proper diagonal here, deliberate fix).
+        kf.p[:, 2, 2] = 1.0
+        kf.p[:, 3, 3] = 1.0
         return kf
 
     def _kf_update(self, kf: KeypointKalman, det: dict) -> None:
@@ -52,7 +65,7 @@ class TrackerBaseline(Tracker):
         )
 
     def _pool(self, scale_pool):
-        # Plain mean (tracker_baseline.py:91-100).
+        # Plain mean, zero pooled uncertainty (tracker_baseline.py:91-100
+        # returns `mean, 0`).
         means = np.stack([np.asarray(m, np.float64) for m, _ in scale_pool])
-        stds = np.stack([np.asarray(s, np.float64) for _, s in scale_pool])
-        return means.mean(axis=0), stds.mean(axis=0)
+        return means.mean(axis=0), np.zeros(3)

@@ -98,16 +98,30 @@ class TestGtScaleRePnp:
 
 class TestCenterPoseInitSeeds:
     def test_detector_pre_dets_format(self):
-        pts, _ = _box_pts([0.3, 0.5, 0.2], yaw=0.1, t=[0.0, 0.0, 2.0])
-        kps_px = _project_px(pts)
-        det = {"kps": kps_px.reshape(-1), "score": 0.7,
-               "obj_scale_uncertainty": np.full(3, 0.2)}
-        boxes = [(None, None, np.array([1.0, 1.2, 0.8]), None, det)]
-        seeds = _detector_pre_dets(boxes)
+        # Seeds are built from the PnP-projected cuboid (proj9, normalized
+        # 9x2 — eval_video_official.py:338-380), scaled to pixels, with the
+        # reference's full near-zero-uncertainty seed field template so
+        # init_track builds a Kalman filter for every seed.
+        width, height = 640, 480
+        rng = np.random.RandomState(0)
+        proj9 = rng.uniform(0.2, 0.8, size=(9, 2))
+        det = {"kps": rng.uniform(0, 640, size=16), "score": 0.7}
+        boxes = [(proj9, None, np.array([1.0, 1.2, 0.8]), None, det)]
+        seeds = _detector_pre_dets(boxes, width, height)
         assert len(seeds) == 1
         s = seeds[0]
         for key in ("score", "cls", "bbox", "ct", "kps", "tracking",
-                    "tracking_hp", "obj_scale", "obj_scale_uncertainty"):
+                    "tracking_hp", "obj_scale", "obj_scale_uncertainty",
+                    "kps_fusion_mean", "kps_fusion_std", "kps_heatmap_mean",
+                    "kps_heatmap_std", "kps_heatmap_height",
+                    "kps_displacement_mean", "kps_displacement_std"):
             assert key in s, key
+        assert s["score"] == 1.0  # reference seeds carry score 1
         assert s["kps"].shape == (16,)
+        expected = proj9[1:].copy()
+        expected[:, 0] *= width
+        expected[:, 1] *= height
+        np.testing.assert_allclose(s["kps"], expected.reshape(-1))
+        np.testing.assert_allclose(s["kps_fusion_mean"], s["kps"])
+        np.testing.assert_allclose(s["obj_scale_uncertainty"], np.ones(3) * 1e-4)
         assert s["bbox"][0] <= s["ct"][0] <= s["bbox"][2]

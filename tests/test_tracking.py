@@ -128,6 +128,39 @@ class TestTracker:
         ret, _ = tr.step([_det([50, 50]), _det([300, 300])], [])
         assert sorted(t["tracking_id"] for t in ret) == [1, 2]
 
+    def test_gt_seed_acquires_kalman_filter(self):
+        # init_track must build a KF for seeds carrying fusion stats — the
+        # reference's eval seeds always do (eval_video_official.py:361-380),
+        # and a KF-less lineage would silently skip all kps smoothing.
+        tr = Tracker(self._cfg())
+        seed = _det([100, 100], score=1.0)
+        tr.init_track({
+            "camera_matrix": np.eye(3), "width": 640, "height": 480,
+            "pre_dets": [seed],
+        })
+        assert len(tr.tracks) == 1 and "kf" in tr.tracks[0]
+        ret, _ = tr.step([_det([102, 101])], [])
+        assert ret and "kf" in ret[0] and "kps_mean_kf" in ret[0]
+
+    def test_baseline_unmatched_track_center_stays_static(self):
+        # tracker_baseline.py:134-140 computes the velocity-shifted centers
+        # LOCALLY for the distance matrix; an unmatched track's stored ct
+        # must NOT accumulate KF velocity drift across missed frames.
+        from centerpose_tpu.tracking.tracker_baseline import TrackerBaseline
+
+        tr = TrackerBaseline(self._cfg())
+        tr.meta = {"camera_matrix": np.eye(3), "width": 640, "height": 480}
+        tr.step([_det([100, 100])], [])
+        # Push the KF toward a nonzero velocity with a moving detection.
+        tr.step([_det([110, 100])], [])
+        ct_before = np.asarray(tr.tracks[0]["ct"], np.float64).copy()
+        for _ in range(2):  # miss the object; track survives (max_age=3)
+            ret, _ = tr.step([], [])
+            assert ret
+        np.testing.assert_allclose(
+            np.asarray(tr.tracks[0]["ct"], np.float64), ct_before
+        )
+
     def test_scale_pool_fusion(self):
         tr = Tracker(self._cfg())
         tr.meta = {"camera_matrix": np.eye(3), "width": 640, "height": 480}
