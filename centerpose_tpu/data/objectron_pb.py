@@ -94,9 +94,12 @@ def _parse_frame_annotation(buf: bytes) -> Dict:
         elif f == 3 and w == 2:
             fr["camera"] = _parse_camera(v)
         elif f == 5:
-            fr["plane_center"] = _floats(v, w)
+            # extend, not assign: 'repeated float' may arrive as three
+            # separate wire-type-5 fields instead of one packed blob (legal
+            # proto encoding — same handling as _parse_camera/_parse_object).
+            fr["plane_center"] = (fr["plane_center"] or []) + list(_floats(v, w))
         elif f == 6:
-            fr["plane_normal"] = _floats(v, w)
+            fr["plane_normal"] = (fr["plane_normal"] or []) + list(_floats(v, w))
     return fr
 
 

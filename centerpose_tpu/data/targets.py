@@ -40,6 +40,12 @@ class ObjectAnnotation:
     scale_3d: np.ndarray        # [3] relative cuboid dims
     tracking: Optional[np.ndarray] = None      # [2] prev - cur center offset
     tracking_hp: Optional[np.ndarray] = None   # [8, 2] prev - cur kp offsets
+    # Preferred tracking_hp inputs (dataset_combined.py:1108-1118): prev
+    # keypoints in OUTPUT coords + existence mask; render_targets computes
+    # prev − pt_int per symmetry slice. `tracking_hp` above is the legacy
+    # pre-computed-offsets form (synthetic benches/tests).
+    tracking_kps_pre: Optional[np.ndarray] = None       # [8, 2]
+    tracking_kps_pre_mask: Optional[np.ndarray] = None  # [8] bool
 
 
 def render_targets(
@@ -102,11 +108,24 @@ def render_targets(
                 hp_ind[si, k * j + jj] = pt_int[1] * w + pt_int[0]
                 hp_offset[si, k * j + jj] = pt - pt_int
                 hp_mask[si, k * j + jj] = 1.0
+                if (
+                    obj.tracking_kps_pre is not None
+                    and obj.tracking_kps_pre_mask is not None
+                    and obj.tracking_kps_pre_mask[jj]
+                ):
+                    # prev − cur per symmetry slice, masked by PREV-keypoint
+                    # existence AND the current keypoint being rendered
+                    # (dataset_combined.py:1108-1118 — the block is guarded
+                    # by the same visibility/bounds conditions as hps_mask).
+                    tracking_hp[si, k, 2 * jj : 2 * jj + 2] = (
+                        np.asarray(obj.tracking_kps_pre[jj]) - pt_int
+                    )
+                    tracking_hp_mask[si, k, 2 * jj : 2 * jj + 2] = 1.0
 
             if obj.tracking is not None:
                 tracking[si, k] = obj.tracking
                 tracking_mask[si, k] = 1.0
-            if obj.tracking_hp is not None:
+            if obj.tracking_kps_pre is None and obj.tracking_hp is not None:
                 tracking_hp[si, k] = np.asarray(obj.tracking_hp).reshape(-1)
                 tracking_hp_mask[si, k] = np.repeat(vis.astype(np.float32), 2)
 

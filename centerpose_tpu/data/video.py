@@ -97,17 +97,43 @@ class MJPEGAVIReader:
     """
 
     def __init__(self, path: str):
+        import mmap
+
         self.path = path
-        with open(path, "rb") as f:
-            data = f.read()
+        # Memory-MAP rather than slurp: a multi-GB AVI stays pageable instead
+        # of pinned resident for the reader's lifetime (1-core CI host).
+        self._file = open(path, "rb")
+        try:
+            self._data = mmap.mmap(
+                self._file.fileno(), 0, access=mmap.ACCESS_READ
+            )
+        except ValueError:
+            self._file.close()
+            raise ValueError(f"{path}: not a RIFF/AVI file (empty)")
+        data = self._data
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            self.close()
             raise ValueError(f"{path}: not a RIFF/AVI file")
         self.fps = None
         self._frames: List[Tuple[int, int]] = []  # (offset, size) into data
-        self._data = data
         self._walk(12, len(data))
         if not self._frames:
+            self.close()
             raise ValueError(f"{path}: no video frame chunks found")
+
+    def close(self) -> None:
+        if getattr(self, "_data", None) is not None and not isinstance(
+            self._data, bytes
+        ):
+            self._data.close()
+        if getattr(self, "_file", None) is not None:
+            self._file.close()
+
+    def __del__(self):  # best-effort; close() is the explicit API
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _walk(self, pos: int, end: int) -> None:
         data = self._data

@@ -152,6 +152,63 @@ class TestTrackingDataset:
             t = np.abs(item["tracking"][0][tm > 0])
             assert t.max() < 2.5
 
+    def test_tracking_hp_mask_requires_prev_keypoint(self, toy_dataset):
+        # tracking_hp supervision requires the PREV keypoint to exist
+        # (dataset_combined.py:1115-1118 masks with pts_mask_pre); with
+        # hp_lost_disturb=1 every prev keypoint is dropped from pre_hm_hp,
+        # so the mask must be all-zero even though the current kps are
+        # visible — training a zero offset there would be wrong supervision.
+        cfg = preset("centerpose_track", input_h=64, input_w=64, category="shoe")
+        ds = ObjectPoseDataset(
+            toy_dataset, cfg, split="val", hm_disturb=0.0, lost_disturb=0.0,
+            fp_disturb=0.0, hp_lost_disturb=1.0,
+        )
+        item = ds[0]
+        assert item is not None
+        assert item["tracking_hp_mask"].sum() == 0
+        # And with no disturbs at all, prev keypoints exist -> mask set and
+        # offsets near zero for the static toy video.
+        ds2 = ObjectPoseDataset(
+            toy_dataset, cfg, split="val", hm_disturb=0.0, lost_disturb=0.0,
+            fp_disturb=0.0, hp_lost_disturb=0.0,
+        )
+        item2 = ds2[0]
+        assert item2 is not None
+        m = item2["tracking_hp_mask"][0]
+        if m.sum() > 0:
+            assert np.abs(item2["tracking_hp"][0][m > 0]).max() < 2.5
+
+    def test_filtered_annotation_does_not_shift_tracking_pairing(self, toy_dataset):
+        # A skipped annotation (no 'scale') must not shift which object the
+        # tracking targets attach to (the objects list pairs with kept anns).
+        import json as _json
+
+        vid = os.path.join(toy_dataset, "video_0")
+        for i in range(2):
+            p = os.path.join(vid, f"{i:05d}.json")
+            with open(p) as f:
+                ann = _json.load(f)
+            bad = dict(ann["objects"][0])
+            bad.pop("scale")
+            bad["name"] = "shoe_bad"
+            # Distinct cuboid so a mis-pairing would produce big offsets.
+            bad["projected_cuboid"] = (
+                np.asarray(ann["objects"][0]["projected_cuboid"]) + 150.0
+            ).tolist()
+            ann["objects"] = [bad, ann["objects"][0]]
+            with open(p, "w") as f:
+                _json.dump(ann, f)
+        cfg = preset("centerpose_track", input_h=64, input_w=64, category="shoe")
+        ds = ObjectPoseDataset(
+            toy_dataset, cfg, split="val", hm_disturb=0.0, lost_disturb=0.0,
+            fp_disturb=0.0, hp_lost_disturb=0.0,
+        )
+        item = ds[0]
+        assert item is not None
+        tm = item["tracking_mask"][0]
+        assert tm.sum() > 0  # the good object still gets its target
+        assert np.abs(item["tracking"][0][tm > 0]).max() < 2.5
+
     def test_detector_in_loop_generation(self, toy_dataset):
         """data_generation_mode 1: previous heatmaps from a detector's outputs."""
         from centerpose_tpu.config import preset
