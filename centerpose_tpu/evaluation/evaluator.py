@@ -293,6 +293,30 @@ class Evaluator:
         ap = AveragePrecision(num_gt=self.num_gt)
         return {f: ap.compute(self.hm[f]).copy() for f in _FAMILIES}
 
+    def report_dict(self) -> dict:
+        """Machine-readable AP report: per family the report-point AP, the full
+        21-threshold curve, and the thresholds; plus counts and (for video
+        runs) the consistency score. Used by --report_json / ACCURACY artifacts."""
+        aps = self.compute_aps()
+        out = {
+            "category": self.cfg.category,
+            "num_gt": self.num_gt,
+            "num_pred": self.num_pred,
+            "families": {},
+        }
+        for f in _FAMILIES:
+            thr = _THRESH[f]
+            i = int(np.argmin(np.abs(thr - _REPORT_POINT[f])))
+            out["families"][f] = {
+                "report_point": _REPORT_POINT[f],
+                "ap": float(aps[f][i]),
+                "thresholds": [float(t) for t in thr],
+                "curve": [float(v) for v in aps[f]],
+            }
+        if self._consistency:
+            out["consistency"] = self.consistency_score()
+        return out
+
     def report(self) -> str:
         """Text AP table (write_report parity: one AP curve per family)."""
         aps = self.compute_aps()

@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("--eval_num_symmetry", type=int, default=0, help="0 = auto")
     p.add_argument("--max_images", type=int, default=0)
     p.add_argument("--report_file", default="")
+    p.add_argument("--report_json", default="",
+                   help="write the machine-readable AP report (per-family "
+                        "report-point AP + full 21-threshold curves) as JSON")
     p.add_argument("--input_res", type=int, default=512)
     p.add_argument(
         "--dcn_impl", default="gather",
@@ -69,6 +72,15 @@ def parse_args():
                    help="evaluate Objectron tfrecords (glob) instead of --data_dir")
     p.add_argument("--stats_save", default="",
                    help="dump raw hit/conf records for scripts/group_report.py")
+    p.add_argument(
+        "--eval_continue", action="store_true",
+        help="resumable eval (eval_video_official.py:1599-1602 parity): "
+             "--stats_save names a DIRECTORY; each video's raw stats are "
+             "written as <dir>/<video_id>.json and videos with an existing "
+             "stats file are skipped on restart (their records are merged "
+             "into the report). The video-consistency score is not "
+             "recomputable from merged stats and is omitted.",
+    )
     p.add_argument("--n_proc", type=int, default=1,
                    help="tfrecord mode: evaluate videos in N worker processes "
                         "(eval_video_official.py:1639-1675 parity)")
@@ -182,6 +194,77 @@ def _build_mug_detector(cfg, mug_kw):
     }
 
 
+def _eval_continue(args, cfg, detector, ablation, init_detector, mug_kw,
+                   hard_ids):
+    """Resumable per-video evaluation (eval_video_official.py:1599-1602):
+    evaluate one video at a time, persist its raw stats as
+    <stats_save>/<video_id>.json, and on restart merge existing files instead
+    of re-running their videos."""
+    from centerpose_tpu.evaluation.evaluator import (
+        Evaluator,
+        evaluate_dataset,
+        evaluate_tfrecords,
+    )
+
+    if not args.stats_save:
+        raise SystemExit("--eval_continue requires --stats_save DIR")
+    if args.n_proc > 1:
+        raise SystemExit("--eval_continue is incompatible with --n_proc")
+    os.makedirs(args.stats_save, exist_ok=True)
+
+    if args.tfrecords:
+        import glob as _glob
+
+        records = sorted(_glob.glob(args.tfrecords))
+        videos = [
+            (os.path.splitext(os.path.basename(r))[0], r) for r in records
+        ]
+    else:
+        from centerpose_tpu.data.dataset import find_samples
+
+        vids = sorted({s[1] for s in find_samples(args.data_dir)})
+        videos = [(v, None) for v in vids]
+    if hard_ids is not None:
+        keep = set(hard_ids)
+        videos = [(v, r) for v, r in videos if v in keep]
+
+    detector_mug, mug_eval_kw = _build_mug_detector(cfg, mug_kw)
+    merged = Evaluator(cfg, args.eval_num_symmetry or None,
+                       **({"eval_mug_symmetric":
+                           mug_eval_kw["eval_mug_symmetric"]}
+                          if mug_eval_kw else {}))
+    for vid, record in videos:
+        stats_path = os.path.join(args.stats_save, f"{vid}.json")
+        if os.path.exists(stats_path):
+            print(f"eval_continue: skipping {vid} (stats exist)", flush=True)
+            merged.load_and_merge(stats_path)
+            continue
+        if record is not None:
+            ev = evaluate_tfrecords(
+                detector, [record], cfg,
+                max_images=args.max_images or None,
+                is_video=args.tracking, ablation=ablation,
+                eval_num_symmetry=args.eval_num_symmetry or None,
+                mobilepose_postprocess=args.eval_MobilePose_postprocessing,
+                gt_scale=args.eval_gt_scale, init_detector=init_detector,
+                detector_mug=detector_mug, **mug_eval_kw,
+            )
+        else:
+            ev = evaluate_dataset(
+                detector, args.data_dir, cfg,
+                max_images=args.max_images or None,
+                is_video=args.tracking,
+                eval_num_symmetry=args.eval_num_symmetry or None,
+                mobilepose_postprocess=args.eval_MobilePose_postprocessing,
+                gt_scale=args.eval_gt_scale, video_filter=[vid],
+            )
+        tmp = stats_path + ".tmp"
+        ev.save_stats(tmp)
+        os.replace(tmp, stats_path)  # atomic: a killed run never half-writes
+        merged.load_and_merge(stats_path)
+    return merged
+
+
 def main():
     args = parse_args()
     if not args.data_dir and not args.tfrecords:
@@ -252,7 +335,10 @@ def main():
             "eval_mug_symmetric": args.eval_mug_symmetric,
         }
         hard_ids = _hard_case_filter(args)
-        if args.tfrecords:
+        if args.eval_continue:
+            evaluator = _eval_continue(args, cfg, detector, ablation,
+                                       init_detector, mug_kw, hard_ids)
+        elif args.tfrecords:
             import glob as _glob
 
             records = sorted(_glob.glob(args.tfrecords))
@@ -328,7 +414,15 @@ def main():
             os.makedirs(os.path.dirname(args.report_file) or ".", exist_ok=True)
             with open(args.report_file, "w") as f:
                 f.write(report + "\n")
-        if args.stats_save:
+        if args.report_json:
+            import json as _json
+
+            os.makedirs(os.path.dirname(args.report_json) or ".", exist_ok=True)
+            with open(args.report_json, "w") as f:
+                _json.dump(evaluator.report_dict(), f, indent=1)
+        if args.stats_save and not args.eval_continue:
+            # (with --eval_continue the per-video files under the stats dir
+            # ARE the persisted stats)
             evaluator.save_stats(args.stats_save)
     else:
         import jax

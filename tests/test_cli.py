@@ -163,6 +163,75 @@ class TestEvaluateCLI:
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "num_gt=2" in open(report).read()
 
+    def test_eval_continue_skips_done_videos(self, tmp_path):
+        """--eval_continue (eval_video_official.py:1599-1602 parity): a run
+        killed after the first video leaves <stats_save>/<video>.json behind;
+        the restart skips it, evaluates the rest, and reports the union."""
+        from PIL import Image
+
+        root = tmp_path / "data"
+        rng = np.random.RandomState(0)
+        for vid in ("video_0", "video_1"):
+            d = root / vid
+            d.mkdir(parents=True)
+            for i in range(2):
+                img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(d / f"{i:05d}.png")
+                kps9 = [[64, 48]] + [
+                    [64 + dx, 48 + dy] for dx in (-20, 20) for dy in (-15, 15)
+                ] * 2
+                ann = {
+                    "camera_data": {
+                        "width": 128, "height": 96,
+                        "intrinsics": {"fx": 120.0, "fy": 120.0,
+                                       "cx": 64.0, "cy": 48.0},
+                    },
+                    "objects": [{
+                        "name": "shoe_0",
+                        "location": [0.0, 0.0, 1.0],
+                        "quaternion_xyzw": [0, 0, 0, 1],
+                        "projected_cuboid": kps9[:9],
+                        "scale": [0.1, 0.1, 0.25],
+                        "keypoints_3d": np.zeros((9, 3)).tolist(),
+                    }],
+                }
+                with open(d / f"{i:05d}.json", "w") as f:
+                    json.dump(ann, f)
+        stats = str(tmp_path / "stats")
+        # "First run, killed after video_0": evaluate only video_0.
+        proc = _run(
+            ["evaluate.py", "--mode", "metric", "--data_dir", str(root),
+             "--c", "shoe", "--input_res", "64", "--eval_continue",
+             "--stats_save", stats,
+             "--eval_hard_case", "2", "--eval_hard_case_list", "video_0"],
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert os.path.exists(os.path.join(stats, "video_0.json"))
+        assert not os.path.exists(os.path.join(stats, "video_1.json"))
+        # Restart over BOTH videos: video_0 skipped, video_1 evaluated.
+        report = str(tmp_path / "resumed.txt")
+        proc = _run(
+            ["evaluate.py", "--mode", "metric", "--data_dir", str(root),
+             "--c", "shoe", "--input_res", "64", "--eval_continue",
+             "--stats_save", stats, "--report_file", report],
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "skipping video_0" in proc.stdout
+        assert "skipping video_1" not in proc.stdout
+        assert os.path.exists(os.path.join(stats, "video_1.json"))
+        assert "num_gt=4" in open(report).read()
+        # Third run: everything skipped, identical counts from merged stats.
+        report2 = str(tmp_path / "all_skipped.txt")
+        proc = _run(
+            ["evaluate.py", "--mode", "metric", "--data_dir", str(root),
+             "--c", "shoe", "--input_res", "64", "--eval_continue",
+             "--stats_save", stats, "--report_file", report2],
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "skipping video_0" in proc.stdout
+        assert "skipping video_1" in proc.stdout
+        assert "num_gt=4" in open(report2).read()
+
     def test_all_checkpoints_loss_replay(self, toy_data, tmp_path):
         """--mode loss --all_checkpoints replays every checkpoint dir through
         the val loss (src/test.py:70-95 parity)."""
