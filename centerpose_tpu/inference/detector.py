@@ -38,7 +38,7 @@ from centerpose_tpu.geometry.cuboid import cuboid_vertices
 from centerpose_tpu.inference.nms import soft_nms
 from centerpose_tpu.models import create_model
 from centerpose_tpu.ops.decode import object_pose_decode
-from centerpose_tpu.ops.pnp import solve_pnp_batch
+from centerpose_tpu.ops.pnp import solve_pnp_batch_padded
 
 # Post-process std scale factor (src/lib/utils/post_process.py:15).
 _STD_COEFFICIENT = 0.32
@@ -372,7 +372,9 @@ class Detector:
                 for d in results
             ]
         )
-        res = solve_pnp_batch(
+        # Padded solve: M is data-dependent per image; the power-of-two bucket
+        # keeps serving from retracing for every distinct detection count.
+        res = solve_pnp_batch_padded(
             jnp.asarray(points, jnp.float32),
             jnp.asarray(cuboids, jnp.float32),
             jnp.asarray(camera, jnp.float32),
@@ -520,17 +522,24 @@ class Detector:
         return pre_hm, pre_hm_hp, self.pre_images
 
     def run_batch(
-        self, images: List[np.ndarray], metas: Optional[List[dict]] = None
+        self, images: List[np.ndarray], metas: Optional[List[dict]] = None,
+        timing: bool = False,
     ) -> List[Dict[str, Any]]:
         """Batched folder/offline inference: ONE jitted forward+decode over the
         whole batch, then per-image host post-processing and one batched PnP.
 
         The reference's folder mode loops single images (demo.py:45-57); batching
         the network pass is the TPU-native serving path (BASELINE config 2).
+
+        timing=True adds a shared per-stage wall-clock dict under "times" in
+        each output (pre/net/post/merge/pnp/tot for the WHOLE batch), forcing a
+        small device fetch after the device stages so they measure execution,
+        not dispatch (block_until_ready can return early on the axon platform).
         """
         cfg = self.cfg
         assert not cfg.tracking_task, "batched mode is for the image model"
         metas = metas or [None] * len(images)
+        t0 = time.time()
 
         # Device-side preprocessing: the affine crop + normalization runs as one
         # jitted program (the reference warps per image on the CPU,
@@ -558,17 +567,34 @@ class Detector:
         batch = preprocess_on_device(
             images, inv_transforms, cfg.input_h, cfg.input_w
         )
+        if timing:
+            float(jax.device_get(batch[0, 0, 0, 0]))  # force pre completion
+        t1 = time.time()
         pre = list(zip([None] * len(images), pre_meta))
         _, dets = self._forward_decode(self.variables, batch)
         dets = {k_: np.asarray(v) for k_, v in dets.items()}
+        t2 = time.time()
 
+        times = {"pre": t1 - t0, "net": t2 - t1, "post": 0.0, "merge": 0.0,
+                 "pnp": 0.0}
         outs = []
         for i, (_, meta) in enumerate(pre):
+            ts = time.time()
             dets_i = {k_: v[i : i + 1] for k_, v in dets.items()}
             detections = self.post_process(dets_i, meta)
+            tp = time.time()
             results = self.merge_outputs(detections)
+            tm = time.time()
             boxes = self.run_pnp(results, meta)
-            outs.append({"results": results, "boxes": boxes, "meta": meta})
+            tq = time.time()
+            times["post"] += tp - ts
+            times["merge"] += tm - tp
+            times["pnp"] += tq - tm
+            out = {"results": results, "boxes": boxes, "meta": meta}
+            if timing:
+                out["times"] = times  # shared batch-level dict
+            outs.append(out)
+        times["tot"] = time.time() - t0
         return outs
 
     def reset_tracking(self):

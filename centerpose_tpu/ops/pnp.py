@@ -396,6 +396,47 @@ def solve_pnp_single(
     )
 
 
+def solve_pnp_batch_padded(
+    points2d,
+    cuboid3d,
+    camera,
+    min_required_points: int = 4,
+) -> PnPResult:
+    """solve_pnp_batch with the object count M padded to the next power of
+    two. Serving calls solve per image with a data-dependent number of
+    surviving detections; without padding every distinct M (1..K) triggers a
+    fresh trace+compile — minutes each over a remote-compile tunnel. Padded
+    rows carry the -10000 invalid sentinel (n_valid=0 ⇒ valid=False, matching
+    the tracker's fixed-slot padding) and a unit cuboid to keep the branchless
+    solver well-posed; results are sliced back to M."""
+    import numpy as np
+
+    m = points2d.shape[0]
+    mp = 1 << max(m - 1, 0).bit_length()
+    if mp != m:
+        pad = mp - m
+        points2d = jnp.concatenate(
+            [points2d,
+             jnp.full((pad,) + points2d.shape[1:], -10000.0, points2d.dtype)],
+            axis=0,
+        )
+        unit = jnp.asarray(
+            np.array(
+                [[(-0.5 if not (i & 4) else 0.5),
+                  (-0.5 if not (i & 2) else 0.5),
+                  (-0.5 if not (i & 1) else 0.5)] for i in range(8)]
+            ),
+            cuboid3d.dtype,
+        )
+        cuboid3d = jnp.concatenate(
+            [cuboid3d, jnp.broadcast_to(unit, (pad, 8, 3))], axis=0
+        )
+    res = solve_pnp_batch(points2d, cuboid3d, camera, min_required_points)
+    if mp != m:
+        res = jax.tree_util.tree_map(lambda x: x[:m], res)
+    return res
+
+
 @partial(jax.jit, static_argnames=("min_required_points",))
 def solve_pnp_batch(
     points2d: jnp.ndarray,

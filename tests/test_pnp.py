@@ -233,3 +233,48 @@ class TestLMOptimality:
         g = np.asarray(jax.grad(cost)(params))
         # Gradient scale: cost ~ O(10²) px²; stationary within LM tolerance.
         assert np.abs(g).max() < 2.0, g
+
+
+class TestPaddedBatch:
+    def test_padded_matches_unpadded(self):
+        """solve_pnp_batch_padded pads M to a power of two (serving retrace
+        guard) and returns results identical to the direct solve."""
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+
+        from centerpose_tpu.ops.pnp import solve_pnp_batch_padded
+
+        rng = np.random.RandomState(0)
+        camera = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+        for m in (1, 3, 5):
+            cuboids, points = [], []
+            for i in range(m):
+                scale = rng.uniform(0.5, 1.5, 3)
+                cub = cuboid_vertices(scale / scale[1])
+                r = Rotation.from_euler(
+                    "xyz", rng.uniform(-0.8, 0.8, 3)
+                ).as_matrix()
+                t = np.array([rng.uniform(-0.2, 0.2),
+                              rng.uniform(-0.2, 0.2), rng.uniform(2, 4)])
+                pc = cub @ r.T + t
+                uv = np.stack(
+                    [camera[0, 0] * pc[:, 0] / pc[:, 2] + camera[0, 2],
+                     camera[1, 1] * pc[:, 1] / pc[:, 2] + camera[1, 2]], -1
+                )
+                cuboids.append(cub)
+                points.append(uv)
+            p = jnp.asarray(np.stack(points), jnp.float32)
+            c = jnp.asarray(np.stack(cuboids), jnp.float32)
+            cam = jnp.asarray(camera, jnp.float32)
+            res_p = solve_pnp_batch_padded(p, c, cam)
+            res_d = solve_pnp_batch(p, c, cam)
+            assert res_p.valid.shape[0] == m
+            assert bool(res_p.valid.all())
+            np.testing.assert_allclose(
+                np.asarray(res_p.translation), np.asarray(res_d.translation),
+                atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res_p.projected), np.asarray(res_d.projected),
+                atol=1e-2,
+            )
