@@ -183,6 +183,40 @@ def write_tfrecord(path: str, payloads) -> None:
             f.write(struct.pack("<I", _masked_crc(data)))
 
 
+def _write_varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _write_varint((num << 3) | 2) + _write_varint(len(payload)) + payload
+
+
+def make_example(features: Dict[str, tuple]) -> bytes:
+    """Serialize {key: (kind, values)} into tf.Example bytes — the writer-side
+    counterpart of parse_example (kind ∈ bytes|float|int64). Used by the
+    DOPE→tfrecord converter (scripts/synth_to_tfrecords.py) and test fixtures."""
+    entries = b""
+    for key, (kind, values) in features.items():
+        if kind == "bytes":
+            feat = _len_field(1, b"".join(_len_field(1, v) for v in values))
+        elif kind == "float":
+            packed = b"".join(struct.pack("<f", float(v)) for v in values)
+            feat = _len_field(2, _len_field(1, packed))
+        else:
+            packed = b"".join(_write_varint(int(v)) for v in values)
+            feat = _len_field(3, _len_field(1, packed))
+        entry = _len_field(1, key.encode()) + _len_field(2, feat)
+        entries += _len_field(1, entry)
+    return _len_field(1, entries)  # Example.features
+
+
 # ------------------------------------------------------------ objectron layer
 KEYS = {
     "IMAGE_ENCODED": "image/encoded",

@@ -311,3 +311,65 @@ class TestClosedLoop:
         # >= 0.9 at real scale (ACCURACY_r04.json).
         assert aps["iou3d"][10] >= 0.5, aps["iou3d"]    # AP@0.5 3D IoU
         assert aps["pixel2d"][19] >= 0.5, aps["pixel2d"]  # AP@0.095
+
+
+class TestTFRecordConversion:
+    def test_dope_to_tfrecord_roundtrip(self, tmp_path):
+        """scripts/synth_to_tfrecords.py: the written Objectron examples parse
+        back (native reader) to the same GT the DOPE jsons carry, including
+        the transposed-intrinsics convention the evaluator un-swaps."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from scripts.synth_to_tfrecords import convert_video
+
+        from centerpose_tpu.data.tfrecord import (
+            parse_objectron_example,
+            read_tfrecord,
+        )
+
+        root = os.path.join(str(tmp_path), "data")
+        generate_dataset(root, n_videos=1, frames_per_video=2, seed=7,
+                         width=160, height=160, video_motion=True)
+        out = os.path.join(str(tmp_path), "video_0.tfrecord")
+        n = convert_video(os.path.join(root, "video_0"), out, "shoe")
+        assert n == 2
+
+        payloads = list(read_tfrecord(out))
+        assert len(payloads) == 2
+        for idx, payload in enumerate(payloads):
+            ex = parse_objectron_example(payload)
+            with open(os.path.join(root, "video_0", f"{idx:06d}.json")) as f:
+                ann = json.load(f)
+            assert ex["num_instances"] == len(ann["objects"])
+            o = ann["objects"][0]
+            w = ann["camera_data"]["width"]
+            pc = np.asarray(o["projected_cuboid"])[:9]
+            np.testing.assert_allclose(
+                ex["points_2d"][0][:, 0], pc[:, 0] / w, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                ex["points_3d"][0], np.asarray(o["keypoints_3d"])[:9], atol=1e-6
+            )
+            np.testing.assert_allclose(
+                ex["translations"][0], o["location"], atol=1e-6
+            )
+            # evaluator.py:558-562 un-swap reproduces the true intrinsics
+            k = np.asarray(ex["intrinsics"])
+            intr = ann["camera_data"]["intrinsics"]
+            cam_m = np.array(
+                [[k[1, 1], 0, k[1, 2]], [0, k[0, 0], k[0, 2]], [0, 0, 1]]
+            )
+            np.testing.assert_allclose(
+                cam_m,
+                np.array([[intr["fx"], 0, intr["cx"]],
+                          [0, intr["fy"], intr["cy"]], [0, 0, 1]]),
+                rtol=1e-6,
+            )
+            assert "plane" in ex and "image_bytes" in ex
+            from scipy.spatial.transform import Rotation as R
+
+            np.testing.assert_allclose(
+                ex["rotations"][0],
+                R.from_quat(o["quaternion_xyzw"]).as_matrix(), atol=1e-6,
+            )
