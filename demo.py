@@ -145,6 +145,9 @@ def _frames(args):
 
 def main():
     args = parse_args()
+    from centerpose_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     detector = load_detector(args)
     detector.debug_level = args.debug
     os.makedirs(args.out_dir, exist_ok=True)

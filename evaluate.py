@@ -270,6 +270,9 @@ def main():
     if not args.data_dir and not args.tfrecords:
         raise SystemExit("one of --data_dir / --tfrecords is required")
     from centerpose_tpu.config import preset
+    from centerpose_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     name = "centerpose_track" if args.tracking else (
         "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"

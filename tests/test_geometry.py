@@ -70,6 +70,42 @@ class TestAffine:
         out = warp_affine(img, t, (8, 8))
         assert out[3, 5] == pytest.approx(1.0, abs=1e-6)
 
+    def test_warp_affine_u8_matches_float_warp_interior(self):
+        from centerpose_tpu.geometry.affine import (
+            get_affine_transform,
+            warp_affine_u8,
+        )
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(96, 128, 3), dtype=np.uint8)
+        t = get_affine_transform(
+            np.array([64.0, 48.0]), 110.0, rot=12.0, output_size=(64, 64)
+        )
+        fast = warp_affine_u8(img, t, (64, 64))
+        assert fast.dtype == np.uint8 and fast.shape == (64, 64, 3)
+        ref = warp_affine(img.astype(np.float32), t, (64, 64))
+        # PIL's fixed-point resampler truncates and zero-fills where the
+        # bilinear support crosses the source border; compare interior pixels
+        # whose 4-tap support is fully inside.
+        t_full = np.vstack([t, [0, 0, 1]])
+        inv = np.linalg.inv(t_full)
+        ys, xs = np.mgrid[0:64, 0:64]
+        src = inv @ np.stack([xs.ravel(), ys.ravel(), np.ones(64 * 64)])
+        interior = (
+            (src[0] >= 1) & (src[0] < 126) & (src[1] >= 1) & (src[1] < 94)
+        ).reshape(64, 64)
+        diff = np.abs(fast.astype(np.float32) - ref)[interior]
+        assert diff.max() <= 1.5  # uint8 rounding vs truncation
+        assert diff.mean() < 0.6
+
+    def test_warp_affine_u8_float_input_falls_back(self):
+        from centerpose_tpu.geometry.affine import warp_affine_u8
+
+        img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+        t = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        out = warp_affine_u8(img, t, (16, 16))
+        np.testing.assert_allclose(out, img, atol=1e-6)
+
 
 class TestCuboid:
     def test_vertex_order_binary_counting(self):

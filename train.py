@@ -96,6 +96,10 @@ def main():
 
     import jax
 
+    from centerpose_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from centerpose_tpu.config import preset
     from centerpose_tpu.data.dataset import ObjectPoseDataset
     from centerpose_tpu.data.loader import DataLoader
