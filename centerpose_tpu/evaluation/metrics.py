@@ -49,7 +49,17 @@ class HitMiss:
 
 class AveragePrecision:
     """Confidence-ranked AP accumulation over a HitMiss family
-    (metrics_nvidia.py semantics)."""
+    (metrics_nvidia.py semantics).
+
+    Parity quirk, kept deliberately: the greedy matcher is not one-to-one
+    (eval_image_official.py:1076-1096 matches every prediction to its nearest
+    GT), so with num_pred > num_gt duplicate hits can push recall — and hence
+    AP — above 1.0. The reference behaves identically: metrics_nvidia.py:80-101
+    appends a terminal (recall=1.0, precision=0.0) point whose envelope
+    contribution is zero, retaining the overflow area, exactly like the
+    `[recall[-1]]` terminal here. Tracker-heavy evals (more emitted tracks
+    than GT objects) surface it; detector evals with score thresholds rarely
+    do."""
 
     def __init__(self, num_gt: int = 0):
         self.num_gt = num_gt

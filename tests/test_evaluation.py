@@ -106,6 +106,17 @@ class TestAP:
         ap = AveragePrecision(num_gt=10)  # 5 more GT never detected
         assert ap.at_threshold(hm, 0.5) == pytest.approx(0.5)
 
+    def test_duplicate_matches_overflow_like_reference(self):
+        # The greedy matcher is not one-to-one: 8 hit predictions against 6 GT
+        # push recall to 8/6 and AP above 1.0. The reference behaves the same
+        # (metrics_nvidia.py:80-101 terminal point contributes zero envelope
+        # area) — this pins the parity quirk so nobody "fixes" one side only.
+        hm = HitMiss(THRESH_3D_IOU)
+        for _ in range(8):
+            hm.record_hit_miss(0.9, conf=0.8)
+        ap = AveragePrecision(num_gt=6)
+        assert ap.at_threshold(hm, 0.5) == pytest.approx(8.0 / 6.0)
+
 
 class TestMetricDefs:
     def test_scale_error_zero(self):
