@@ -33,11 +33,18 @@ def run(cmd, env=None):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--work_dir", default="exp/accuracy")
+    p.add_argument("--train_dir", default="",
+                   help="use an existing train set instead of generating "
+                        "{work_dir}/data_train")
+    p.add_argument("--val_dir_override", default="",
+                   help="use an existing held-out set")
     p.add_argument("--arch", default="res_18")
     p.add_argument("--input_res", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--lr_step", default="",
+                   help="forwarded to train.py (LR /10 drop epochs)")
     p.add_argument("--train_videos", type=int, default=24)
     p.add_argument("--train_frames", type=int, default=16)
     p.add_argument("--val_videos", type=int, default=6)
@@ -54,8 +61,8 @@ def main():
     p.add_argument("--max_images", type=int, default=0)
     args = p.parse_args()
 
-    train_dir = os.path.join(args.work_dir, "data_train")
-    val_dir = os.path.join(args.work_dir, "data_val")
+    train_dir = args.train_dir or os.path.join(args.work_dir, "data_train")
+    val_dir = args.val_dir_override or os.path.join(args.work_dir, "data_val")
     exp_id = "accuracy_loop"
     ckpt = os.path.join("exp", args.arch, exp_id, "best")
 
@@ -83,7 +90,8 @@ def main():
              "--input_res", str(args.input_res),
              "--val_intervals", "10", "--save_intervals", "50",
              "--dcn_impl", args.dcn_impl,
-             "--compute_dtype", args.compute_dtype])
+             "--compute_dtype", args.compute_dtype]
+            + (["--lr_step", args.lr_step] if args.lr_step else []))
         t_train = time.time() - t0
 
     report_json = os.path.join(args.work_dir, "report.json")
@@ -109,7 +117,12 @@ def main():
             "arch": args.arch, "input_res": args.input_res,
             "batch_size": args.batch_size, "lr": args.lr,
             "num_epochs": args.num_epochs,
-            "train_frames": args.train_videos * args.train_frames,
+            "train_frames": sum(
+                len([f for f in os.listdir(os.path.join(train_dir, d))
+                     if f.endswith(".png")])
+                for d in os.listdir(train_dir)
+                if os.path.isdir(os.path.join(train_dir, d))
+            ),
             "heldout_frames": args.val_videos * args.val_frames,
             "img_size": args.img_size,
             "train_wall_s": round(t_train, 1),

@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1.25e-4)
     p.add_argument("--num_epochs", type=int, default=0, help="0 = preset default")
+    p.add_argument(
+        "--lr_step", default="",
+        help="comma-separated epochs for the LR ÷10 drops (opts.py --lr_step "
+             "parity); empty = preset default (90,120)",
+    )
     p.add_argument("--val_intervals", type=int, default=5)
     p.add_argument("--save_intervals", type=int, default=10)
     p.add_argument("--resume", action="store_true")
@@ -132,6 +137,10 @@ def main():
     )
     if args.num_epochs:
         cfg = cfg.replace(num_epochs=args.num_epochs)
+    if args.lr_step:
+        cfg = cfg.replace(
+            lr_step=tuple(int(e) for e in args.lr_step.split(",") if e)
+        )
 
     exp_dir = os.path.join("exp", cfg.arch, args.exp_id)
     logger = Logger(exp_dir, cfg)
