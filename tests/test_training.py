@@ -12,9 +12,27 @@ from centerpose_tpu.models import create_model
 from centerpose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from centerpose_tpu.training.trainer import (
     create_train_state,
+    make_lr_schedule,
     make_optimizer,
     make_train_step,
 )
+
+
+class TestLRSchedule:
+    def test_lr_step_divides_by_ten_at_epoch_boundaries(self):
+        """LR /10 at each lr_step epoch (main_CenterPose.py:25-191 parity),
+        expressed in optimizer steps; cfg.lr_step is CLI-settable via
+        train.py --lr_step (opts.py --lr_step parity)."""
+        cfg = preset("centerpose", arch="res_18", lr=1e-3).replace(
+            lr_step=(2, 4)
+        )
+        sched = make_lr_schedule(cfg)(10)  # 10 steps/epoch
+        assert float(sched(0)) == pytest.approx(1e-3)
+        assert float(sched(19)) == pytest.approx(1e-3)
+        assert float(sched(20)) == pytest.approx(1e-4)  # epoch 2 boundary
+        assert float(sched(39)) == pytest.approx(1e-4)
+        assert float(sched(40)) == pytest.approx(1e-5)  # epoch 4 boundary
+        assert float(sched(99)) == pytest.approx(1e-5)
 
 
 def _tiny_batch(cfg, n):
