@@ -157,6 +157,7 @@ class Evaluator:
         plane: Optional[tuple] = None,
         frame_id: Optional[int] = None,
         re_pnp=None,
+        video_key: str = "",
     ):
         """Record metrics for one image's PnP-validated detections.
 
@@ -244,9 +245,12 @@ class Evaluator:
             )
 
             if frame_id is not None:
-                self._consistency.setdefault(str(i_min), []).append(
-                    (frame_id, box_pred)
-                )
+                # Key includes the video so windows never straddle two videos
+                # whose per-video frame ids overlap (consistency is per
+                # instance-within-a-video, eval_video_official.py:811-853).
+                self._consistency.setdefault(
+                    f"{video_key}:{i_min}", []
+                ).append((frame_id, box_pred))
 
     # ------------------------------------------------------------------ results
     def consistency_score(self, window: int = 10) -> float:
@@ -615,7 +619,7 @@ def evaluate_tfrecords(
             )
             evaluator.evaluate_image(
                 boxes, instances, ex.get("plane"), fidx if is_video else None,
-                re_pnp=re_pnp,
+                re_pnp=re_pnp, video_key=str(ridx),
             )
             count += 1
     return evaluator
@@ -675,6 +679,6 @@ def evaluate_dataset(
         )
         evaluator.evaluate_image(
             boxes, instances, plane, frame_id if is_video else None,
-            re_pnp=re_pnp,
+            re_pnp=re_pnp, video_key=str(video_id),
         )
     return evaluator

@@ -243,7 +243,7 @@ def _eval_continue(args, cfg, detector, ablation, init_detector, mug_kw,
             ev = evaluate_tfrecords(
                 detector, [record], cfg,
                 max_images=args.max_images or None,
-                is_video=args.tracking, ablation=ablation,
+                is_video=args.video_eval, ablation=ablation,
                 eval_num_symmetry=args.eval_num_symmetry or None,
                 mobilepose_postprocess=args.eval_MobilePose_postprocessing,
                 gt_scale=args.eval_gt_scale, init_detector=init_detector,
@@ -253,7 +253,7 @@ def _eval_continue(args, cfg, detector, ablation, init_detector, mug_kw,
             ev = evaluate_dataset(
                 detector, args.data_dir, cfg,
                 max_images=args.max_images or None,
-                is_video=args.tracking,
+                is_video=args.video_eval,
                 eval_num_symmetry=args.eval_num_symmetry or None,
                 mobilepose_postprocess=args.eval_MobilePose_postprocessing,
                 gt_scale=args.eval_gt_scale, video_filter=[vid],
@@ -274,6 +274,10 @@ def main():
 
     enable_persistent_cache()
 
+    # Video-sequence evaluation semantics (per-video tracker reset +
+    # consistency scoring) apply to the Track pipeline AND the CenterPose+KF
+    # baseline (tracker_baseline.py via --refined_kalman).
+    args.video_eval = args.tracking or args.refined_kalman
     name = "centerpose_track" if args.tracking else (
         "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"
     )
@@ -362,7 +366,7 @@ def main():
                     payloads = pool.starmap(
                         _eval_shard,
                         [
-                            (shard, cfg, args.max_images, args.tracking,
+                            (shard, cfg, args.max_images, args.video_eval,
                              ablation, args.load_model,
                              args.eval_num_symmetry or None, mug_kw)
                             for shard in shards
@@ -390,7 +394,7 @@ def main():
                 evaluator = evaluate_tfrecords(
                     detector, records, cfg,
                     max_images=args.max_images or None,
-                    is_video=args.tracking,
+                    is_video=args.video_eval,
                     ablation=ablation,
                     eval_num_symmetry=args.eval_num_symmetry or None,
                     mobilepose_postprocess=args.eval_MobilePose_postprocessing,
@@ -405,7 +409,7 @@ def main():
                 args.data_dir,
                 cfg,
                 max_images=args.max_images or None,
-                is_video=args.tracking,
+                is_video=args.video_eval,
                 eval_num_symmetry=args.eval_num_symmetry or None,
                 mobilepose_postprocess=args.eval_MobilePose_postprocessing,
                 gt_scale=args.eval_gt_scale,

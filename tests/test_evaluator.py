@@ -74,6 +74,22 @@ class TestEvaluator:
         assert "iou3d" in rep and "consistency" in rep
         assert ev.consistency_score() == pytest.approx(1.0, abs=1e-5)
 
+    def test_consistency_keyed_per_video(self):
+        # Two videos whose per-video frame ids overlap: video A holds a box at
+        # one pose, video B the same instance index at a far pose. With
+        # per-video keys the cross-video pairs contribute NO IoU terms and the
+        # score stays 1.0; a shared key would mix them (score << 1).
+        cfg = preset("centerpose", category="shoe")
+        ev = Evaluator(cfg, eval_num_symmetry=1)
+        gt_a = _gt(t=(0.1, -0.2, 1.5))
+        gt_b = _gt(t=(2.5, 1.0, 4.0))
+        for frame in range(3):
+            ev.evaluate_image([_pred_box(gt_a)], [gt_a], plane=None,
+                              frame_id=frame, video_key="vid_a")
+            ev.evaluate_image([_pred_box(gt_b)], [gt_b], plane=None,
+                              frame_id=frame, video_key="vid_b")
+        assert ev.consistency_score() == pytest.approx(1.0, abs=1e-5)
+
     def test_stats_save_merge(self, tmp_path):
         cfg = preset("centerpose", category="shoe")
         gt = _gt()
