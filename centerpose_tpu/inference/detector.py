@@ -222,8 +222,18 @@ class Detector:
         return images, meta
 
     # ------------------------------------------------------------------ post
-    def post_process(self, dets: Dict[str, np.ndarray], meta: dict) -> List[dict]:
-        """object_pose_post_process (src/lib/utils/post_process.py:12-68)."""
+    def post_process(
+        self, dets: Dict[str, np.ndarray], meta: dict,
+        min_score: Optional[float] = None,
+    ) -> List[dict]:
+        """object_pose_post_process (src/lib/utils/post_process.py:12-68).
+
+        Vectorized over the K detections (one batched affine per field instead
+        of ~10 numpy calls per det). `min_score` drops sub-threshold dets
+        BEFORE the dict build — semantically free when the caller filters on
+        the same threshold right after (merge_outputs does), and the dominant
+        serving-path saving: with trained weights only a handful of K=100
+        slots survive."""
         c, s = meta["c"], meta["s"]
         w, h = meta["out_width"], meta["out_height"]
         # With anisotropic windows (fix_short / keep-res) `s` is a 2-vector; the
@@ -232,43 +242,58 @@ class Detector:
         # type-checks for scalar s — the fix_res case it is actually run in.)
         scale_fac = np.asarray(s, np.float64) / max(w, h)
 
-        def scale_xy(vec: np.ndarray) -> np.ndarray:
-            vec = np.asarray(vec, np.float64)
-            return (vec.reshape(-1, 2) * scale_fac).reshape(vec.shape)
+        scores = np.asarray(dets["scores"][0, :, 0], np.float64)
+        if min_score is not None:
+            idxs = np.nonzero(scores > min_score)[0]
+        else:
+            idxs = np.arange(scores.shape[0])
+        if idxs.size == 0:
+            return []
+
+        def scale_xy(arr: np.ndarray) -> np.ndarray:
+            a = np.asarray(arr, np.float64)
+            return (a.reshape(a.shape[0], -1, 2) * scale_fac).reshape(a.shape)
+
+        trans = get_affine_transform(c, s, 0, (w, h), inv=True)
+
+        def tpreds(arr: np.ndarray) -> np.ndarray:
+            """Batched transform_preds over [M, 2n] rows (sentinel-preserving,
+            geometry/affine.py:95-106)."""
+            a = np.asarray(arr, np.float64).reshape(arr.shape[0], -1, 2)
+            out = a @ trans[:, :2].T + trans[:, 2]
+            invalid = (a[..., 0] == -10000) & (a[..., 1] == -10000)
+            out[invalid] = -10000.0
+            return out
+
+        sel = {k_: np.asarray(v[0])[idxs] for k_, v in dets.items()}
+        bboxes = tpreds(sel["bboxes"].reshape(idxs.size, 4)).reshape(idxs.size, 4)
+        kps = tpreds(sel["kps"]).reshape(idxs.size, -1)
+        kdm = tpreds(sel["kps_displacement_mean"]).reshape(idxs.size, -1)
+        khm = tpreds(sel["kps_heatmap_mean"]).reshape(idxs.size, -1)
+        kds = scale_xy(sel["kps_displacement_std"]) * _STD_COEFFICIENT
+        khs = scale_xy(sel["kps_heatmap_std"]) * _STD_COEFFICIENT
+        trk = scale_xy(sel["tracking"])
+        trk_hp = scale_xy(sel["tracking_hp"])
 
         results = []
-        k = dets["scores"].shape[1]
-        for jdx in range(k):
-            item = {
-                "score": float(dets["scores"][0, jdx, 0]),
-                "cls": int(dets["clses"][0, jdx, 0]),
-                "obj_scale": np.array(dets["obj_scale"][0, jdx]),
-                "obj_scale_uncertainty": np.array(dets["obj_scale_uncertainty"][0, jdx]),
-                "kps_displacement_std": scale_xy(dets["kps_displacement_std"][0, jdx])
-                * _STD_COEFFICIENT,
-                "tracking": scale_xy(dets["tracking"][0, jdx]),
-                "tracking_hp": scale_xy(dets["tracking_hp"][0, jdx]),
-            }
-            bbox = transform_preds(dets["bboxes"][0, jdx].reshape(2, 2), c, s, (w, h))
-            item["bbox"] = bbox.reshape(4)
-            item["ct"] = [
-                (item["bbox"][0] + item["bbox"][2]) / 2,
-                (item["bbox"][1] + item["bbox"][3]) / 2,
-            ]
-            item["kps"] = transform_preds(
-                dets["kps"][0, jdx].reshape(-1, 2), c, s, (w, h)
-            ).reshape(-1)
-            item["kps_displacement_mean"] = transform_preds(
-                dets["kps_displacement_mean"][0, jdx].reshape(-1, 2), c, s, (w, h)
-            ).reshape(-1)
-            item["kps_heatmap_mean"] = transform_preds(
-                dets["kps_heatmap_mean"][0, jdx].reshape(-1, 2), c, s, (w, h)
-            ).reshape(-1)
-            item["kps_heatmap_std"] = (
-                scale_xy(dets["kps_heatmap_std"][0, jdx]) * _STD_COEFFICIENT
-            )
-            item["kps_heatmap_height"] = dets["kps_heatmap_height"][0, jdx]
-            results.append(item)
+        for m, jdx in enumerate(idxs):
+            bbox = bboxes[m]
+            results.append({
+                "score": float(scores[jdx]),
+                "cls": int(sel["clses"][m, 0]),
+                "obj_scale": np.array(sel["obj_scale"][m]),
+                "obj_scale_uncertainty": np.array(sel["obj_scale_uncertainty"][m]),
+                "kps_displacement_std": kds[m],
+                "tracking": trk[m],
+                "tracking_hp": trk_hp[m],
+                "bbox": bbox,
+                "ct": [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2],
+                "kps": kps[m],
+                "kps_displacement_mean": kdm[m],
+                "kps_heatmap_mean": khm[m],
+                "kps_heatmap_std": khs[m],
+                "kps_heatmap_height": sel["kps_heatmap_height"][m],
+            })
         return results
 
     # ------------------------------------------------------------------ merge
@@ -355,13 +380,8 @@ class Detector:
             points.append(pts)
         return np.vstack(points)
 
-    def run_pnp(self, results: List[dict], meta: dict) -> List[tuple]:
-        """Batched pnp_shell over all surviving boxes (cuboid_pnp_shell.py:11-93)."""
-        if not results:
-            return []
-        cat = self.cfg.category
-        camera = np.asarray(meta["camera_matrix"], np.float64)
-
+    def _pnp_assemble(self, results: List[dict]):
+        """Point sets + normalized cuboids for a list of detections."""
         points = np.stack([self._pnp_points(d) for d in results])  # [M, N, 2]
         cuboids = np.stack(
             [
@@ -372,6 +392,59 @@ class Detector:
                 for d in results
             ]
         )
+        return points, cuboids
+
+    def run_pnp_multi(
+        self, results_list: List[List[dict]], metas: List[dict]
+    ) -> List[List[tuple]]:
+        """pnp_shell over MANY images' surviving boxes in ONE padded device
+        solve (per-box intrinsics). The per-image run_pnp costs a device
+        dispatch each — over a remote tunnel that RTT (~30-45 ms) dominated
+        the round-4 e2e batch profile (14.3 s of 24.2 s); one dispatch for the
+        whole batch amortizes it away."""
+        counts = [len(r) for r in results_list]
+        if sum(counts) == 0:
+            return [[] for _ in results_list]
+        pts, cubs, cams = [], [], []
+        for results, meta in zip(results_list, metas):
+            if not results:
+                continue
+            p, c = self._pnp_assemble(results)
+            pts.append(p)
+            cubs.append(c)
+            cams.append(
+                np.broadcast_to(
+                    np.asarray(meta["camera_matrix"], np.float64),
+                    (len(results), 3, 3),
+                )
+            )
+        points = np.concatenate(pts)
+        cuboids = np.concatenate(cubs)
+        cameras = np.concatenate(cams)
+        res = solve_pnp_batch_padded(
+            jnp.asarray(points, jnp.float32),
+            jnp.asarray(cuboids, jnp.float32),
+            jnp.asarray(cameras, jnp.float32),
+        )
+        res = jax.tree_util.tree_map(np.asarray, res)
+        boxes_all, off = [], 0
+        for results, meta, n in zip(results_list, metas, counts):
+            if n == 0:
+                boxes_all.append([])
+                continue
+            res_i = jax.tree_util.tree_map(lambda x: x[off:off + n], res)
+            boxes_all.append(
+                self._pnp_consume(results, cuboids[off:off + n], res_i, meta)
+            )
+            off += n
+        return boxes_all
+
+    def run_pnp(self, results: List[dict], meta: dict) -> List[tuple]:
+        """Batched pnp_shell over all surviving boxes (cuboid_pnp_shell.py:11-93)."""
+        if not results:
+            return []
+        camera = np.asarray(meta["camera_matrix"], np.float64)
+        points, cuboids = self._pnp_assemble(results)
         # Padded solve: M is data-dependent per image; the power-of-two bucket
         # keeps serving from retracing for every distinct detection count.
         res = solve_pnp_batch_padded(
@@ -380,7 +453,11 @@ class Detector:
             jnp.asarray(camera, jnp.float32),
         )
         res = jax.tree_util.tree_map(np.asarray, res)
+        return self._pnp_consume(results, cuboids, res, meta)
 
+    def _pnp_consume(self, results, cuboids, res, meta) -> List[tuple]:
+        """Host epilogue of pnp_shell: pose fields, visibility rejection."""
+        cat = self.cfg.category
         boxes = []
         for m, det in enumerate(results):
             if not res.valid[m]:
@@ -432,7 +509,7 @@ class Detector:
                 )
                 extra = dict(pre_img=pre_images, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp)
             outputs, dets = self._forward_decode(self.variables, images_j, **extra)
-            dets = {k_: np.asarray(v) for k_, v in dets.items()}
+            dets = jax.device_get(dets)  # one fetch, not one RTT per key
             if getattr(self, "debug_level", 0) >= 2 and scale == 1.0:
                 # Raw maps for render_debug (object_pose.py:199-279 canvases).
                 self._debug_raw = {
@@ -457,7 +534,8 @@ class Detector:
             t2 = time.time()
             times["net"] += t2 - t1
 
-            scale_dets = self.post_process(dets, meta_s)
+            scale_dets = self.post_process(dets, meta_s,
+                                           min_score=cfg.vis_thresh)
             if scale != 1.0:
                 # Coordinates back to the unscaled image (object_pose.py:174-179).
                 for det in scale_dets:
@@ -570,26 +648,35 @@ class Detector:
         if timing:
             float(jax.device_get(batch[0, 0, 0, 0]))  # force pre completion
         t1 = time.time()
-        pre = list(zip([None] * len(images), pre_meta))
         _, dets = self._forward_decode(self.variables, batch)
-        dets = {k_: np.asarray(v) for k_, v in dets.items()}
+        # ONE fetch for all decode outputs: per-key np.asarray pays a tunnel
+        # round-trip per array; device_get issues the copies together.
+        dets = jax.device_get(dets)
         t2 = time.time()
 
         times = {"pre": t1 - t0, "net": t2 - t1, "post": 0.0, "merge": 0.0,
                  "pnp": 0.0}
-        outs = []
-        for i, (_, meta) in enumerate(pre):
+        results_list = []
+        for i, meta in enumerate(pre_meta):
             ts = time.time()
             dets_i = {k_: v[i : i + 1] for k_, v in dets.items()}
-            detections = self.post_process(dets_i, meta)
+            # Sub-threshold dets never survive merge_outputs — drop them
+            # before the per-det dict build.
+            detections = self.post_process(dets_i, meta,
+                                           min_score=cfg.vis_thresh)
             tp = time.time()
-            results = self.merge_outputs(detections)
+            results_list.append(self.merge_outputs(detections))
             tm = time.time()
-            boxes = self.run_pnp(results, meta)
-            tq = time.time()
             times["post"] += tp - ts
             times["merge"] += tm - tp
-            times["pnp"] += tq - tm
+
+        # ONE padded PnP dispatch for the whole batch (per-box intrinsics).
+        tq0 = time.time()
+        boxes_list = self.run_pnp_multi(results_list, pre_meta)
+        times["pnp"] = time.time() - tq0
+
+        outs = []
+        for results, boxes, meta in zip(results_list, boxes_list, pre_meta):
             out = {"results": results, "boxes": boxes, "meta": meta}
             if timing:
                 out["times"] = times  # shared batch-level dict

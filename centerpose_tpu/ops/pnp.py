@@ -408,7 +408,11 @@ def solve_pnp_batch_padded(
     fresh trace+compile — minutes each over a remote-compile tunnel. Padded
     rows carry the -10000 invalid sentinel (n_valid=0 ⇒ valid=False, matching
     the tracker's fixed-slot padding) and a unit cuboid to keep the branchless
-    solver well-posed; results are sliced back to M."""
+    solver well-posed; results are sliced back to M.
+
+    `camera` may be [3, 3] (one intrinsic for all M) or [M, 3, 3] (per-object
+    — lets the serving path solve a whole multi-image batch in ONE dispatch
+    even when images carry different intrinsics)."""
     import numpy as np
 
     m = points2d.shape[0]
@@ -431,6 +435,16 @@ def solve_pnp_batch_padded(
         cuboid3d = jnp.concatenate(
             [cuboid3d, jnp.broadcast_to(unit, (pad, 8, 3))], axis=0
         )
+        if camera.ndim == 3:
+            # Benign intrinsic for the dead rows (weights are all zero there,
+            # but the branchless DLT/EPnP still divides by fx/fy).
+            safe = jnp.asarray(
+                np.array([[500.0, 0.0, 0.0], [0.0, 500.0, 0.0], [0.0, 0.0, 1.0]]),
+                camera.dtype,
+            )
+            camera = jnp.concatenate(
+                [camera, jnp.broadcast_to(safe, (pad, 3, 3))], axis=0
+            )
     res = solve_pnp_batch(points2d, cuboid3d, camera, min_required_points)
     if mp != m:
         res = jax.tree_util.tree_map(lambda x: x[:m], res)
@@ -444,7 +458,12 @@ def solve_pnp_batch(
     camera: jnp.ndarray,
     min_required_points: int = 4,
 ) -> PnPResult:
-    """vmapped PnP over K objects: points2d [K, N, 2], cuboid3d [K, 8, 3]."""
+    """vmapped PnP over K objects: points2d [K, N, 2], cuboid3d [K, 8, 3];
+    camera [3, 3] shared or [K, 3, 3] per-object."""
+    if camera.ndim == 3:
+        return jax.vmap(
+            lambda p, c, cam: solve_pnp_single(p, c, cam, min_required_points)
+        )(points2d, cuboid3d, camera)
     return jax.vmap(
         lambda p, c: solve_pnp_single(p, c, camera, min_required_points)
     )(points2d, cuboid3d)

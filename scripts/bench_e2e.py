@@ -106,8 +106,10 @@ def _calibrate_thresh(detector, frames, metas, per_image=2):
 
 
 def _prime_pnp(detector, meta):
-    """Pre-compile every PnP bucket (power-of-two M up to 16) so bucket
-    compiles never land inside the timed window."""
+    """Pre-compile every PnP bucket a single-stream run can hit (power-of-two
+    M up to 128 ≥ K=100 surviving dets) so bucket compiles never land inside
+    the timed window. The batch mode's per-box-camera buckets are covered by
+    its own full warmup pass over the real data."""
     import jax.numpy as jnp
 
     from centerpose_tpu.geometry.cuboid import cuboid_vertices
@@ -116,7 +118,7 @@ def _prime_pnp(detector, meta):
     n_points = {0: 8, 1: 16, 2: 160, 3: 8, 4: 8}[detector.cfg.rep_mode]
     cam = jnp.asarray(np.asarray(meta["camera_matrix"]), jnp.float32)
     cub = jnp.asarray(cuboid_vertices(np.ones(3)), jnp.float32)
-    for m in (1, 2, 4, 8, 16):
+    for m in (1, 2, 4, 8, 16, 32, 64, 128):
         res = solve_pnp_batch_padded(
             jnp.full((m, n_points, 2), -10000.0, jnp.float32),
             jnp.broadcast_to(cub, (m, 8, 3)), cam,

@@ -278,3 +278,46 @@ class TestPaddedBatch:
                 np.asarray(res_p.projected), np.asarray(res_d.projected),
                 atol=1e-2,
             )
+
+    def test_per_object_cameras_match_individual_solves(self):
+        """camera may be [K, 3, 3]: the serving path concatenates boxes from
+        MANY images (different intrinsics) into one padded device solve
+        (Detector.run_pnp_multi). Each row must match the single-camera
+        solve with its own intrinsics."""
+        import jax.numpy as jnp
+
+        from centerpose_tpu.ops.pnp import solve_pnp_batch_padded
+
+        rng = np.random.RandomState(3)
+        cameras = [
+            np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]]),
+            np.array([[300.0, 0, 160], [0, 330.0, 120], [0, 0, 1]]),
+            np.array([[800.0, 0, 400], [0, 800.0, 300], [0, 0, 1]]),
+        ]
+        cuboids, points, poses = [], [], []
+        for cam in cameras:
+            r_gt, t_gt = _random_pose(rng)
+            cub = cuboid_vertices(rng.uniform(0.5, 1.5, 3))
+            cuboids.append(cub)
+            points.append(_project_np(cub, r_gt, t_gt, camera=cam))
+            poses.append((r_gt, t_gt))
+        res_multi = solve_pnp_batch_padded(
+            jnp.asarray(np.stack(points), jnp.float32),
+            jnp.asarray(np.stack(cuboids), jnp.float32),
+            jnp.asarray(np.stack(cameras), jnp.float32),
+        )
+        assert bool(np.asarray(res_multi.valid).all())
+        for i, cam in enumerate(cameras):
+            res_i = solve_pnp_batch_padded(
+                jnp.asarray(points[i][None], jnp.float32),
+                jnp.asarray(cuboids[i][None], jnp.float32),
+                jnp.asarray(cam, jnp.float32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(res_multi.translation[i]),
+                np.asarray(res_i.translation[0]), atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res_multi.quaternion[i]),
+                np.asarray(res_i.quaternion[0]), atol=1e-3,
+            )
