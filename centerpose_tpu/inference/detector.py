@@ -426,7 +426,7 @@ class Detector:
             jnp.asarray(cuboids, jnp.float32),
             jnp.asarray(cameras, jnp.float32),
         )
-        res = jax.tree_util.tree_map(np.asarray, res)
+        res = jax.device_get(res)  # one fetch for all result fields
         boxes_all, off = [], 0
         for results, meta, n in zip(results_list, metas, counts):
             if n == 0:
@@ -452,7 +452,7 @@ class Detector:
             jnp.asarray(cuboids, jnp.float32),
             jnp.asarray(camera, jnp.float32),
         )
-        res = jax.tree_util.tree_map(np.asarray, res)
+        res = jax.device_get(res)  # one fetch for all result fields
         return self._pnp_consume(results, cuboids, res, meta)
 
     def _pnp_consume(self, results, cuboids, res, meta) -> List[tuple]:

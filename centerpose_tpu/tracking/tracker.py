@@ -325,7 +325,7 @@ class Tracker:
             jnp.asarray(cuboids, jnp.float32),
             jnp.asarray(np.asarray(self.meta["camera_matrix"]), jnp.float32),
         )
-        res = jax.tree_util.tree_map(np.asarray, res)
+        res = jax.device_get(res)  # one fetch for all result fields
 
         outs = []
         for i, (track, _, _, _) in enumerate(items):
