@@ -149,6 +149,22 @@ class Detector:
             )
             return outputs, dets
 
+        # Fused serving program for the batched path: uint8 frames +
+        # axis-aligned dst→src transforms in, decoded detections out — the
+        # separable-matmul warp (ops/resample.py), normalization, network, and
+        # decode in ONE XLA program. One dispatch per batch instead of two
+        # (each dispatch over a remote tunnel costs ~30-45 ms), and the warp
+        # rides the MXU instead of 4 XLA gathers.
+        @jax.jit
+        def forward_decode_raw(variables, raw, transforms):
+            from centerpose_tpu.ops.resample import warp_separable_batch
+
+            images = warp_separable_batch(
+                raw, transforms, cfg.input_h, cfg.input_w
+            )
+            return forward_decode(variables, images)
+
+        self._forward_decode_raw = forward_decode_raw
         return forward_decode
 
     # ------------------------------------------------------------------ pre
@@ -422,9 +438,9 @@ class Detector:
         cuboids = np.concatenate(cubs)
         cameras = np.concatenate(cams)
         res = solve_pnp_batch_padded(
-            jnp.asarray(points, jnp.float32),
-            jnp.asarray(cuboids, jnp.float32),
-            jnp.asarray(cameras, jnp.float32),
+            points.astype(np.float32),
+            cuboids.astype(np.float32),
+            cameras.astype(np.float32),
         )
         res = jax.device_get(res)  # one fetch for all result fields
         boxes_all, off = [], 0
@@ -448,9 +464,9 @@ class Detector:
         # Padded solve: M is data-dependent per image; the power-of-two bucket
         # keeps serving from retracing for every distinct detection count.
         res = solve_pnp_batch_padded(
-            jnp.asarray(points, jnp.float32),
-            jnp.asarray(cuboids, jnp.float32),
-            jnp.asarray(camera, jnp.float32),
+            np.asarray(points, np.float32),
+            np.asarray(cuboids, np.float32),
+            np.asarray(camera, np.float32),
         )
         res = jax.device_get(res)  # one fetch for all result fields
         return self._pnp_consume(results, cuboids, res, meta)
@@ -599,30 +615,23 @@ class Detector:
         pre_hm, pre_hm_hp = render_previous_heatmaps(tracks, meta, cfg)
         return pre_hm, pre_hm_hp, self.pre_images
 
-    def run_batch(
-        self, images: List[np.ndarray], metas: Optional[List[dict]] = None,
-        timing: bool = False,
-    ) -> List[Dict[str, Any]]:
-        """Batched folder/offline inference: ONE jitted forward+decode over the
-        whole batch, then per-image host post-processing and one batched PnP.
-
-        The reference's folder mode loops single images (demo.py:45-57); batching
-        the network pass is the TPU-native serving path (BASELINE config 2).
-
-        timing=True adds a shared per-stage wall-clock dict under "times" in
-        each output (pre/net/post/merge/pnp/tot for the WHOLE batch), forcing a
-        small device fetch after the device stages so they measure execution,
-        not dispatch (block_until_ready can return early on the axon platform).
-        """
+    def _batch_submit(self, images: List[np.ndarray],
+                      metas: Optional[List[dict]] = None,
+                      timing: bool = False) -> dict:
+        """Device half of the batched path: build per-image metas/transforms,
+        submit transfer → warp → net → decode (async JAX dispatch — returns
+        before the device finishes). Host post-processing happens in
+        `_batch_finish`; keeping the two apart lets `run_batch_stream` overlap
+        chunk N's host work with chunk N+1's device work."""
         cfg = self.cfg
         assert not cfg.tracking_task, "batched mode is for the image model"
         metas = metas or [None] * len(images)
         t0 = time.time()
 
-        # Device-side preprocessing: the affine crop + normalization runs as one
-        # jitted program (the reference warps per image on the CPU,
+        # Device-side preprocessing: the affine crop + normalization runs on
+        # device (the reference warps per image on the CPU,
         # base_detector.py:127-133 — a serving bottleneck on weak hosts).
-        from centerpose_tpu.ops.resample import preprocess_on_device
+        from centerpose_tpu.ops.resample import axis_aligned, preprocess_on_device
 
         pre_meta = []
         inv_transforms = []
@@ -642,16 +651,36 @@ class Detector:
             inv_transforms.append(
                 get_affine_transform(c, s, 0, (cfg.input_w, cfg.input_h), inv=True)
             )
-        batch = preprocess_on_device(
-            images, inv_transforms, cfg.input_h, cfg.input_w
+        fused = (
+            len({im.shape for im in images}) == 1
+            and axis_aligned(inv_transforms)
         )
-        if timing:
-            float(jax.device_get(batch[0, 0, 0, 0]))  # force pre completion
-        t1 = time.time()
-        _, dets = self._forward_decode(self.variables, batch)
+        if fused:
+            # One dispatch: uint8 transfer → MXU warp → net → decode.
+            raw = jnp.asarray(np.stack(images))
+            invs = jnp.asarray(np.stack(inv_transforms).astype(np.float32))
+            t1 = time.time()
+            _, dets = self._forward_decode_raw(self.variables, raw, invs)
+        else:
+            batch = preprocess_on_device(
+                images, inv_transforms, cfg.input_h, cfg.input_w
+            )
+            if timing:
+                float(jax.device_get(batch[0, 0, 0, 0]))  # force pre completion
+            t1 = time.time()
+            _, dets = self._forward_decode(self.variables, batch)
+        return {"dets": dets, "pre_meta": pre_meta, "t0": t0, "t1": t1}
+
+    def _batch_finish(self, handle: dict, timing: bool = False
+                      ) -> List[Dict[str, Any]]:
+        """Host half: fetch decode outputs, per-image post/merge, one padded
+        PnP dispatch for the whole batch."""
+        cfg = self.cfg
+        pre_meta = handle["pre_meta"]
+        t0, t1 = handle["t0"], handle["t1"]
         # ONE fetch for all decode outputs: per-key np.asarray pays a tunnel
         # round-trip per array; device_get issues the copies together.
-        dets = jax.device_get(dets)
+        dets = jax.device_get(handle["dets"])
         t2 = time.time()
 
         times = {"pre": t1 - t0, "net": t2 - t1, "post": 0.0, "merge": 0.0,
@@ -683,6 +712,41 @@ class Detector:
             outs.append(out)
         times["tot"] = time.time() - t0
         return outs
+
+    def run_batch(
+        self, images: List[np.ndarray], metas: Optional[List[dict]] = None,
+        timing: bool = False,
+    ) -> List[Dict[str, Any]]:
+        """Batched folder/offline inference: ONE jitted warp+forward+decode over
+        the whole batch, then per-image host post-processing and one batched PnP.
+
+        The reference's folder mode loops single images (demo.py:45-57); batching
+        the network pass is the TPU-native serving path (BASELINE config 2).
+
+        timing=True adds a shared per-stage wall-clock dict under "times" in
+        each output (pre/net/post/merge/pnp/tot for the WHOLE batch), forcing a
+        small device fetch after the device stages so they measure execution,
+        not dispatch (block_until_ready can return early on the axon platform).
+        """
+        return self._batch_finish(
+            self._batch_submit(images, metas, timing=timing), timing=timing
+        )
+
+    def run_batch_stream(self, chunks, timing: bool = False):
+        """Pipelined batched serving: generator over (images, metas) chunks
+        that keeps ONE chunk in flight on the device — chunk N's host
+        post/merge/PnP overlaps chunk N+1's transfer + warp+net+decode (JAX
+        dispatch is async). Yields the same per-image output lists run_batch
+        returns, in order. The steady-state throughput is max(host half,
+        device half) instead of their sum."""
+        pending = None
+        for images, metas in chunks:
+            handle = self._batch_submit(images, metas, timing=timing)
+            if pending is not None:
+                yield self._batch_finish(pending, timing=timing)
+            pending = handle
+        if pending is not None:
+            yield self._batch_finish(pending, timing=timing)
 
     def reset_tracking(self):
         self.pre_images = None

@@ -412,38 +412,44 @@ def solve_pnp_batch_padded(
 
     `camera` may be [3, 3] (one intrinsic for all M) or [M, 3, 3] (per-object
     — lets the serving path solve a whole multi-image batch in ONE dispatch
-    even when images carry different intrinsics)."""
+    even when images carry different intrinsics).
+
+    Padding happens in host numpy: eager jnp concatenates here would each be
+    their own device dispatch (a tunnel round-trip per op in remote serving);
+    one memcpy on the host then ONE transfer into the jitted solve is strictly
+    cheaper."""
     import numpy as np
 
+    points2d = np.asarray(points2d)
+    cuboid3d = np.asarray(cuboid3d)
+    camera = np.asarray(camera)
     m = points2d.shape[0]
     mp = 1 << max(m - 1, 0).bit_length()
     if mp != m:
         pad = mp - m
-        points2d = jnp.concatenate(
+        points2d = np.concatenate(
             [points2d,
-             jnp.full((pad,) + points2d.shape[1:], -10000.0, points2d.dtype)],
+             np.full((pad,) + points2d.shape[1:], -10000.0, points2d.dtype)],
             axis=0,
         )
-        unit = jnp.asarray(
-            np.array(
-                [[(-0.5 if not (i & 4) else 0.5),
-                  (-0.5 if not (i & 2) else 0.5),
-                  (-0.5 if not (i & 1) else 0.5)] for i in range(8)]
-            ),
+        unit = np.array(
+            [[(-0.5 if not (i & 4) else 0.5),
+              (-0.5 if not (i & 2) else 0.5),
+              (-0.5 if not (i & 1) else 0.5)] for i in range(8)],
             cuboid3d.dtype,
         )
-        cuboid3d = jnp.concatenate(
-            [cuboid3d, jnp.broadcast_to(unit, (pad, 8, 3))], axis=0
+        cuboid3d = np.concatenate(
+            [cuboid3d, np.broadcast_to(unit, (pad, 8, 3))], axis=0
         )
         if camera.ndim == 3:
             # Benign intrinsic for the dead rows (weights are all zero there,
             # but the branchless DLT/EPnP still divides by fx/fy).
-            safe = jnp.asarray(
-                np.array([[500.0, 0.0, 0.0], [0.0, 500.0, 0.0], [0.0, 0.0, 1.0]]),
+            safe = np.array(
+                [[500.0, 0.0, 0.0], [0.0, 500.0, 0.0], [0.0, 0.0, 1.0]],
                 camera.dtype,
             )
-            camera = jnp.concatenate(
-                [camera, jnp.broadcast_to(safe, (pad, 3, 3))], axis=0
+            camera = np.concatenate(
+                [camera, np.broadcast_to(safe, (pad, 3, 3))], axis=0
             )
     res = solve_pnp_batch(points2d, cuboid3d, camera, min_required_points)
     if mp != m:

@@ -137,6 +137,32 @@ class TestBatchedInference:
         for out in outs:
             assert "results" in out and "boxes" in out
 
+    def test_run_batch_stream_matches_run_batch(self):
+        """The pipelined generator must yield exactly what per-chunk run_batch
+        returns, in order (incl. the fused uint8 warp+net+decode path: equal
+        shapes, axis-aligned serving transforms)."""
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.inference.detector import Detector
+
+        cfg = preset("centerpose", input_h=64, input_w=64, K=8, vis_thresh=0.0)
+        det = Detector(cfg)
+        rng = np.random.RandomState(1)
+        imgs = [(rng.rand(96, 96, 3) * 255).astype(np.uint8) for _ in range(4)]
+        chunks = [(imgs[:2], None), (imgs[2:], None)]
+
+        seq = [det.run_batch(c, m) for c, m in chunks]
+        stream = list(det.run_batch_stream(iter(chunks)))
+        assert len(stream) == len(seq)
+        for outs_a, outs_b in zip(seq, stream):
+            assert len(outs_a) == len(outs_b)
+            for a, b in zip(outs_a, outs_b):
+                assert len(a["results"]) == len(b["results"])
+                assert len(a["boxes"]) == len(b["boxes"])
+                for ra, rb in zip(a["results"], b["results"]):
+                    np.testing.assert_allclose(
+                        ra["kps"], rb["kps"], rtol=1e-5, atol=1e-5
+                    )
+
 
 class TestDeviceResample:
     def test_device_warp_matches_host(self):
@@ -158,6 +184,51 @@ class TestDeviceResample:
                                64, 64, normalize=False)
         )
         np.testing.assert_allclose(dev, host, atol=0.5)  # uint8 bilinear tolerance
+
+    def test_separable_matches_gather(self):
+        """Axis-aligned serving warps: the MXU separable path must reproduce
+        the 4-corner gather path exactly (same hat weights, same zero border),
+        with and without normalization, including out-of-range borders."""
+        import jax
+        import jax.numpy as jnp
+
+        from centerpose_tpu.geometry.affine import get_affine_transform
+        from centerpose_tpu.ops.resample import (
+            axis_aligned,
+            warp_affine_device,
+            warp_separable_batch,
+        )
+
+        rng = np.random.RandomState(1)
+        imgs = (rng.rand(4, 96, 128, 3) * 255).astype(np.uint8)
+        invs = []
+        for i, (c, s) in enumerate(
+            [((64.0, 48.0), 128.0), ((64.0, 48.0), 200.0),
+             ((30.0, 20.0), 64.0), ((100.0, 90.0), 300.0)]
+        ):
+            invs.append(
+                get_affine_transform(np.array(c), s, 0, (64, 64), inv=True)
+            )
+        assert axis_aligned(invs)
+        rot = get_affine_transform(np.array([64.0, 48.0]), 128.0, 30, (64, 64),
+                                   inv=True)
+        assert not axis_aligned([rot])
+
+        for normalize in (True, False):
+            sep = np.asarray(
+                warp_separable_batch(
+                    jnp.asarray(imgs),
+                    jnp.asarray(np.stack(invs), jnp.float32),
+                    64, 64, normalize=normalize,
+                )
+            )
+            gat = np.asarray(
+                jax.vmap(
+                    lambda im, t: warp_affine_device(im, t, 64, 64,
+                                                     normalize=normalize)
+                )(jnp.asarray(imgs), jnp.asarray(np.stack(invs), jnp.float32))
+            )
+            np.testing.assert_allclose(sep, gat, atol=2e-3 if normalize else 0.02)
 
 
 class TestPreprocessModes:
