@@ -149,12 +149,14 @@ class Detector:
             )
             return outputs, dets
 
-        # Fused serving program for the batched path: uint8 frames +
-        # axis-aligned dst→src transforms in, decoded detections out — the
-        # separable-matmul warp (ops/resample.py), normalization, network, and
-        # decode in ONE XLA program. One dispatch per batch instead of two
-        # (each dispatch over a remote tunnel costs ~30-45 ms), and the warp
-        # rides the MXU instead of 4 XLA gathers.
+        # Fused serving programs: uint8 frames + axis-aligned dst→src
+        # transforms in, decoded detections out — the separable-matmul warp
+        # (ops/resample.py), normalization, network, and decode in ONE XLA
+        # program. One dispatch per batch/frame instead of two or three (each
+        # dispatch over a remote tunnel costs ~30-45 ms), and the warp rides
+        # the MXU instead of 4 XLA gathers. The warped images come back too
+        # (lazily — nothing is fetched unless the caller needs pre_images or
+        # debug canvases).
         @jax.jit
         def forward_decode_raw(variables, raw, transforms):
             from centerpose_tpu.ops.resample import warp_separable_batch
@@ -162,15 +164,38 @@ class Detector:
             images = warp_separable_batch(
                 raw, transforms, cfg.input_h, cfg.input_w
             )
-            return forward_decode(variables, images)
+            outputs, dets = forward_decode(variables, images)
+            return images, outputs, dets
+
+        # Tracking twin: the previous-frame heatmap render (tracking/render.py
+        # _render_maps) joins the same program, so the per-frame loop is
+        # warp → render → twin-stem net → decode in one dispatch.
+        @jax.jit
+        def forward_decode_raw_track(variables, raw, transforms,
+                                     hm_params, hp_params, pre_img):
+            from centerpose_tpu.ops.resample import warp_separable_batch
+            from centerpose_tpu.tracking.render import _render_maps
+
+            images = warp_separable_batch(
+                raw, transforms, cfg.input_h, cfg.input_w
+            )
+            pre_hm, pre_hm_hp = _render_maps(
+                hm_params, hp_params, h=cfg.input_h, w=cfg.input_w
+            )
+            outputs, dets = forward_decode(
+                variables, images,
+                pre_img=pre_img, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp,
+            )
+            return images, outputs, dets
 
         self._forward_decode_raw = forward_decode_raw
+        self._forward_decode_raw_track = forward_decode_raw_track
         return forward_decode
 
     # ------------------------------------------------------------------ pre
     def pre_process(
         self, image: np.ndarray, input_meta: Optional[dict] = None,
-        scale: float = 1.0,
+        scale: float = 1.0, warp: bool = True,
     ):
         """All three testing modes of base_detector.pre_process (:91-148):
 
@@ -219,10 +244,16 @@ class Detector:
             c = np.array([new_width // 2, new_height // 2], dtype=np.float32)
             s = np.array([inp_w, inp_h], dtype=np.float32)
 
-        trans_input = get_affine_transform(c, s, 0, (inp_w, inp_h))
-        inp = warp_affine(image.astype(np.float32), trans_input, (inp_w, inp_h))
-        inp = (inp / 255.0 - self.mean) / self.std
-        images = inp[None].astype(np.float32)  # NHWC
+        if warp:
+            trans_input = get_affine_transform(c, s, 0, (inp_w, inp_h))
+            inp = warp_affine(image.astype(np.float32), trans_input, (inp_w, inp_h))
+            inp = (inp / 255.0 - self.mean) / self.std
+            images = inp[None].astype(np.float32)  # NHWC
+        else:
+            # Fused serving path: the warp happens on device inside the same
+            # XLA program as the network (run(), _forward_decode_raw*); only
+            # the meta is needed here.
+            images = None
 
         meta = {
             "c": c,
@@ -511,20 +542,69 @@ class Detector:
         meta = None
         for scale in scales:
             ts = time.time()
-            images, meta_s = self.pre_process(image, meta_inp, scale=scale)
+            # Fused single-stream path: the standard fix_res crop at scale 1
+            # is axis-aligned, so the warp (and for tracking the pre-hm
+            # render) joins the network's XLA program — one dispatch per
+            # frame instead of 2-3, and no host-side warp on weak hosts.
+            # Multi-scale / fix_short / keep-res / debug runs keep the
+            # host-warp path (they need host inputs or non-standard windows);
+            # so does a tracking video's FIRST frame (pre_images must exist
+            # before the fused program can take it as an input).
+            fused = (
+                scale == 1.0 and cfg.fix_res and cfg.fix_short <= 0
+                and getattr(self, "debug_level", 0) < 2
+                and not (cfg.tracking_task and self.pre_images is None)
+            )
+            if fused:
+                images, meta_s = self.pre_process(
+                    image, meta_inp, scale=scale, warp=False
+                )
+                raw = jnp.asarray(np.asarray(image))[None]
+                invs = jnp.asarray(
+                    get_affine_transform(
+                        meta_s["c"], meta_s["s"], 0,
+                        (cfg.input_w, cfg.input_h), inv=True,
+                    ).astype(np.float32)
+                )[None]
+            else:
+                images, meta_s = self.pre_process(image, meta_inp, scale=scale)
             if scale == 1.0 or meta is None:
                 meta = meta_s
             t1 = time.time()
             times["pre"] += t1 - ts
 
-            images_j = jnp.asarray(images)
             extra = {}
-            if cfg.tracking_task:
-                pre_hm, pre_hm_hp, pre_images = self._tracking_inputs(
-                    images_j, meta_s
+            if fused and cfg.tracking_task:
+                from centerpose_tpu.tracking.render import render_inputs
+
+                tracks = (
+                    []
+                    if cfg.empty_pre_hm
+                    else (self.tracker.active_tracks() if self.tracker else [])
                 )
-                extra = dict(pre_img=pre_images, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp)
-            outputs, dets = self._forward_decode(self.variables, images_j, **extra)
+                hm_p, hp_p = render_inputs(tracks, meta_s, cfg)
+                images_j, outputs, dets = self._forward_decode_raw_track(
+                    self.variables, raw, invs,
+                    tuple(jnp.asarray(a) for a in hm_p),
+                    tuple(jnp.asarray(a) for a in hp_p),
+                    self.pre_images,
+                )
+            elif fused:
+                images_j, outputs, dets = self._forward_decode_raw(
+                    self.variables, raw, invs
+                )
+            else:
+                images_j = jnp.asarray(images)
+                if cfg.tracking_task:
+                    pre_hm, pre_hm_hp, pre_images = self._tracking_inputs(
+                        images_j, meta_s
+                    )
+                    extra = dict(
+                        pre_img=pre_images, pre_hm=pre_hm, pre_hm_hp=pre_hm_hp
+                    )
+                outputs, dets = self._forward_decode(
+                    self.variables, images_j, **extra
+                )
             dets = jax.device_get(dets)  # one fetch, not one RTT per key
             if getattr(self, "debug_level", 0) >= 2 and scale == 1.0:
                 # Raw maps for render_debug (object_pose.py:199-279 canvases).
@@ -660,7 +740,7 @@ class Detector:
             raw = jnp.asarray(np.stack(images))
             invs = jnp.asarray(np.stack(inv_transforms).astype(np.float32))
             t1 = time.time()
-            _, dets = self._forward_decode_raw(self.variables, raw, invs)
+            _, _, dets = self._forward_decode_raw(self.variables, raw, invs)
         else:
             batch = preprocess_on_device(
                 images, inv_transforms, cfg.input_h, cfg.input_w

@@ -43,10 +43,14 @@ def _render_maps(hm_params, hp_params, h: int, w: int):
     return hm, jnp.transpose(hm_hp, (1, 2, 0))[None]
 
 
-def render_previous_heatmaps(
+def render_inputs(
     tracks: List[dict], meta: dict, cfg: CenterPoseConfig
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Build pre_hm [1, H, W, 1] and pre_hm_hp [1, H, W, 8] from tracker state."""
+) -> Tuple[tuple, tuple]:
+    """Host half of the pre-hm render: pack track state into fixed-shape
+    [max_tracks(*J)] slot arrays (tiny numpy work). The arrays feed
+    `_render_maps` — either standalone (render_previous_heatmaps) or inlined
+    into the fused serving program (detector._build_forward), where the render
+    shares the frame's single dispatch."""
     inp_h, inp_w = cfg.input_h, cfg.input_w
     j = cfg.num_joints
     mt = cfg.max_tracks
@@ -123,15 +127,18 @@ def render_previous_heatmaps(
                 hp_amps[jj, ti] = conf[jj]
                 hp_valid[jj, ti] = True
 
+    return (centers, radii, amps, valid), (hp_centers, hp_radii, hp_amps, hp_valid)
+
+
+def render_previous_heatmaps(
+    tracks: List[dict], meta: dict, cfg: CenterPoseConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build pre_hm [1, H, W, 1] and pre_hm_hp [1, H, W, 8] from tracker state."""
+    hm_params, hp_params = render_inputs(tracks, meta, cfg)
     hm, hm_hp = _render_maps(
-        (jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(amps), jnp.asarray(valid)),
-        (
-            jnp.asarray(hp_centers),
-            jnp.asarray(hp_radii),
-            jnp.asarray(hp_amps),
-            jnp.asarray(hp_valid),
-        ),
-        h=inp_h,
-        w=inp_w,
+        tuple(jnp.asarray(a) for a in hm_params),
+        tuple(jnp.asarray(a) for a in hp_params),
+        h=cfg.input_h,
+        w=cfg.input_w,
     )
     return hm, hm_hp
