@@ -196,16 +196,27 @@ def main():
             dbg.save_all_imgs(os.path.join(args.out_dir, "debug"), prefix=base + "_")
 
     if args.batch_size > 1 and not args.tracking:
-        buf = []
-        for path, img in _frames(args):
-            buf.append((path, img))
-            if len(buf) == args.batch_size:
-                outs = detector.run_batch([im for _, im in buf], [meta or None] * len(buf))
-                for (pth, im), out in zip(buf, outs):
-                    emit(pth, im, out)
-                buf = []
-        if buf:
-            outs = detector.run_batch([im for _, im in buf], [meta or None] * len(buf))
+        # Pipelined batched serving: chunk N's host post/merge/PnP overlaps
+        # chunk N+1's device work (detector.run_batch_stream).
+        def chunks():
+            buf = []
+            for path, img in _frames(args):
+                buf.append((path, img))
+                if len(buf) == args.batch_size:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        pending = []
+
+        def feed():
+            for buf in chunks():
+                pending.append(buf)
+                yield [im for _, im in buf], [meta or None] * len(buf)
+
+        for outs in detector.run_batch_stream(feed()):
+            buf = pending.pop(0)
             for (pth, im), out in zip(buf, outs):
                 emit(pth, im, out)
         return
