@@ -159,9 +159,9 @@ class Detector:
         # debug canvases).
         @jax.jit
         def forward_decode_raw(variables, raw, transforms):
-            from centerpose_tpu.ops.resample import warp_separable_batch
+            from centerpose_tpu.ops.resample import warp_axis_aligned_batch
 
-            images = warp_separable_batch(
+            images = warp_axis_aligned_batch(
                 raw, transforms, cfg.input_h, cfg.input_w
             )
             outputs, dets = forward_decode(variables, images)
@@ -173,10 +173,10 @@ class Detector:
         @jax.jit
         def forward_decode_raw_track(variables, raw, transforms,
                                      hm_params, hp_params, pre_img):
-            from centerpose_tpu.ops.resample import warp_separable_batch
+            from centerpose_tpu.ops.resample import warp_axis_aligned_batch
             from centerpose_tpu.tracking.render import _render_maps
 
-            images = warp_separable_batch(
+            images = warp_axis_aligned_batch(
                 raw, transforms, cfg.input_h, cfg.input_w
             )
             pre_hm, pre_hm_hp = _render_maps(
@@ -266,6 +266,12 @@ class Detector:
         }
         if input_meta:
             meta.update(input_meta)
+        # The crop window actually used by the (host or fused device) warp.
+        # input_meta may override 'c'/'s' for post_process coordinate mapping
+        # (base_detector.py:139-147 merge semantics), but the warp geometry is
+        # pinned to the locally computed window so the fused and host paths
+        # always agree.
+        meta["_warp_c"], meta["_warp_s"] = c, s
         return images, meta
 
     # ------------------------------------------------------------------ post
@@ -554,6 +560,7 @@ class Detector:
                 scale == 1.0 and cfg.fix_res and cfg.fix_short <= 0
                 and getattr(self, "debug_level", 0) < 2
                 and not (cfg.tracking_task and self.pre_images is None)
+                and not getattr(self, "force_host_warp", False)
             )
             if fused:
                 images, meta_s = self.pre_process(
@@ -562,7 +569,7 @@ class Detector:
                 raw = jnp.asarray(np.asarray(image))[None]
                 invs = jnp.asarray(
                     get_affine_transform(
-                        meta_s["c"], meta_s["s"], 0,
+                        meta_s["_warp_c"], meta_s["_warp_s"], 0,
                         (cfg.input_w, cfg.input_h), inv=True,
                     ).astype(np.float32)
                 )[None]

@@ -127,6 +127,32 @@ def warp_separable_batch(
     return out
 
 
+# The separable path materializes an f32 copy of the source batch plus dense
+# [B, out, in] weight matrices — HBM grows with SOURCE resolution (b32 1080p
+# ≈ 1.8 GB before network activations; ADVICE r4 #3). Above this source-pixel
+# budget (≈ 0.8 GB of f32 source copy, b64@512² / b16@1024² territory) fall
+# back to the 4-corner gather warp, whose footprint scales with OUTPUT size.
+_SEPARABLE_SRC_PIXEL_BUDGET = 64 * 512 * 512
+
+
+def warp_axis_aligned_batch(
+    images: jnp.ndarray,
+    transforms: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Batched axis-aligned warp: the separable MXU formulation when the
+    source batch fits the HBM budget, the gather formulation otherwise.
+    Both have identical hat-weight + zero-border semantics (tested)."""
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    if b * h * w <= _SEPARABLE_SRC_PIXEL_BUDGET:
+        return warp_separable_batch(images, transforms, out_h, out_w, normalize)
+    return jax.vmap(
+        lambda im, t: warp_affine_device(im, t, out_h, out_w, normalize)
+    )(images, transforms)
+
+
 def preprocess_on_device(
     images: Sequence[np.ndarray],
     inv_transforms: Sequence[np.ndarray],
@@ -142,7 +168,7 @@ def preprocess_on_device(
         batch = jnp.asarray(np.stack(images))
         invs = jnp.asarray(np.stack(inv_transforms).astype(np.float32))
         if axis_aligned(inv_transforms):
-            return warp_separable_batch(batch, invs, out_h, out_w)
+            return warp_axis_aligned_batch(batch, invs, out_h, out_w)
         return jax.vmap(
             lambda im, t: warp_affine_device(im, t, out_h, out_w)
         )(batch, invs)

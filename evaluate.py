@@ -82,8 +82,9 @@ def parse_args():
              "recomputable from merged stats and is omitted.",
     )
     p.add_argument("--n_proc", type=int, default=1,
-                   help="tfrecord mode: evaluate videos in N worker processes "
-                        "(eval_video_official.py:1639-1675 parity)")
+                   help="evaluate videos in N worker processes "
+                        "(eval_video_official.py:1639-1675 parity); composes "
+                        "with --eval_continue for killable/resumable sweeps")
     p.add_argument(
         "--eval_hard_case", type=int, default=0, choices=(0, 1, 2),
         help="evaluate a video subset: 1 = ids from --eval_hard_case_file "
@@ -160,6 +161,48 @@ def _eval_shard(records, cfg, max_images, tracking, ablation, load_model="",
             return fr.read()
 
 
+def _eval_continue_shard(videos, stats_save, cfg, max_images, tracking,
+                         ablation, load_model="", eval_num_symmetry=None,
+                         mug_kw=None, data_dir=""):
+    """Worker for --eval_continue --n_proc N (spawn-safe): evaluate the
+    shard's pending videos ONE AT A TIME, persisting <stats_save>/<vid>.json
+    atomically after each — a killed sweep resumes mid-shard
+    (eval_video_official.py:1599-1602 resume inside the :1639-1675 pool)."""
+    from centerpose_tpu.evaluation.evaluator import (
+        evaluate_dataset,
+        evaluate_tfrecords,
+    )
+    from centerpose_tpu.inference.detector import Detector
+
+    variables = None
+    if load_model:
+        from demo import _load_variables
+
+        variables = _load_variables(load_model, cfg)
+    detector = Detector(cfg, variables)
+    detector_mug, mug_eval_kw = _build_mug_detector(cfg, mug_kw or {})
+    for vid, record in videos:
+        stats_path = os.path.join(stats_save, f"{vid}.json")
+        if os.path.exists(stats_path):
+            continue
+        if record is not None:
+            ev = evaluate_tfrecords(
+                detector, [record], cfg, max_images=max_images or None,
+                is_video=tracking, ablation=ablation,
+                eval_num_symmetry=eval_num_symmetry,
+                detector_mug=detector_mug, **mug_eval_kw,
+            )
+        else:
+            ev = evaluate_dataset(
+                detector, data_dir, cfg, max_images=max_images or None,
+                is_video=tracking, eval_num_symmetry=eval_num_symmetry,
+                video_filter=[vid],
+            )
+        tmp = f"{stats_path}.tmp{os.getpid()}"
+        ev.save_stats(tmp)
+        os.replace(tmp, stats_path)
+
+
 def _build_mug_detector(cfg, mug_kw):
     """Build the MUG sub-model detector + evaluate_tfrecords kwargs for the
     cup dual-model path (eval_image_official.py:166-182). mug_kw carries
@@ -208,8 +251,6 @@ def _eval_continue(args, cfg, detector, ablation, init_detector, mug_kw,
 
     if not args.stats_save:
         raise SystemExit("--eval_continue requires --stats_save DIR")
-    if args.n_proc > 1:
-        raise SystemExit("--eval_continue is incompatible with --n_proc")
     os.makedirs(args.stats_save, exist_ok=True)
 
     if args.tfrecords:
@@ -227,6 +268,37 @@ def _eval_continue(args, cfg, detector, ablation, init_detector, mug_kw,
     if hard_ids is not None:
         keep = set(hard_ids)
         videos = [(v, r) for v, r in videos if v in keep]
+
+    if args.n_proc > 1 and len(videos) > 1:
+        # Resumable multiprocess sweep (eval_video_official.py:1599-1602
+        # resume composed with the :1639-1675 pool): round-robin the PENDING
+        # videos over spawn workers; each worker persists per-video stats
+        # atomically, so a killed sweep resumes from whatever any worker
+        # finished. The parent only merges stats files.
+        import multiprocessing as mp
+
+        done = {v for v, _ in videos
+                if os.path.exists(os.path.join(args.stats_save, f"{v}.json"))}
+        for vid in sorted(done):
+            print(f"eval_continue: skipping {vid} (stats exist)", flush=True)
+        pending = [(v, r) for v, r in videos if v not in done]
+        if pending:
+            shards = [pending[i::args.n_proc] for i in range(args.n_proc)]
+            ctx = mp.get_context("spawn")
+            with ctx.Pool(args.n_proc) as pool:
+                pool.starmap(
+                    _eval_continue_shard,
+                    [(shard, args.stats_save, cfg, args.max_images,
+                      args.video_eval, ablation, args.load_model,
+                      args.eval_num_symmetry or None, mug_kw, args.data_dir)
+                     for shard in shards if shard],
+                )
+        merged = Evaluator(cfg, args.eval_num_symmetry or None)
+        for vid, _ in videos:
+            stats_path = os.path.join(args.stats_save, f"{vid}.json")
+            if os.path.exists(stats_path):
+                merged.load_and_merge(stats_path)
+        return merged
 
     detector_mug, mug_eval_kw = _build_mug_detector(cfg, mug_kw)
     merged = Evaluator(cfg, args.eval_num_symmetry or None,

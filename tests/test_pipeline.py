@@ -231,6 +231,24 @@ class TestDeviceResample:
             np.testing.assert_allclose(sep, gat, atol=2e-3 if normalize else 0.02)
 
 
+    def test_budget_fallback_matches_separable(self, monkeypatch):
+        """Above the HBM source-pixel budget the axis-aligned warp falls back
+        to the gather formulation (ADVICE r4 #3); both paths must agree."""
+        import jax.numpy as jnp
+
+        from centerpose_tpu.ops import resample
+
+        rng = np.random.RandomState(2)
+        imgs = (rng.rand(2, 40, 56, 3) * 255).astype(np.uint8)
+        t = np.array([[[0.9, 0.0, 1.5], [0.0, 1.1, -2.0]]] * 2, np.float32)
+        ref = np.asarray(resample.warp_separable_batch(
+            jnp.asarray(imgs), jnp.asarray(t), 32, 32))
+        monkeypatch.setattr(resample, "_SEPARABLE_SRC_PIXEL_BUDGET", 1)
+        out = np.asarray(resample.warp_axis_aligned_batch(
+            jnp.asarray(imgs), jnp.asarray(t), 32, 32))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 class TestPreprocessModes:
     """base_detector.pre_process mode parity (base_detector.py:91-148)."""
 
@@ -307,3 +325,92 @@ class TestPreprocessModes:
         img = (rng.rand(80, 120, 3) * 255).astype(np.uint8)
         out = det.run(img)
         assert len(out["results"]) <= det.cfg.K
+
+
+class TestFusedRunParity:
+    """The fused (in-program device warp) run() path is the DEFAULT serving
+    path; assert detection parity against the host-warp path it replaced
+    (ADVICE r4 #2). `force_host_warp` flips the gate without changing any
+    other behavior."""
+
+    def _compare(self, out_f, out_h, atol_px=0.75, atol_score=5e-3):
+        rf, rh = out_f["results"], out_h["results"]
+        assert len(rf) == len(rh)
+        for a, b in zip(rf, rh):
+            assert abs(a["score"] - b["score"]) < atol_score
+            np.testing.assert_allclose(a["kps"], b["kps"], atol=atol_px)
+            np.testing.assert_allclose(a["bbox"], b["bbox"], atol=atol_px)
+
+    def _match_compare(self, out_f, out_h, atol_px=0.75, atol_score=5e-3,
+                       max_unmatched=1):
+        """Set-style parity: random-weight heatmaps have near-tie top-K peaks,
+        so sub-pixel warp differences can flip the greedy association and
+        change the RESULT COUNT by one in a single legitimate step. Match
+        entries by bbox and require strict field parity on the matches, with
+        at most `max_unmatched` unmatched leftovers."""
+        rf, rh = out_f["results"], out_h["results"]
+        used, matched = set(), 0
+        for a in rf:
+            best, bj = None, None
+            for j, b in enumerate(rh):
+                if j in used:
+                    continue
+                d = float(np.max(np.abs(np.asarray(a["bbox"], np.float64)
+                                        - np.asarray(b["bbox"], np.float64))))
+                if best is None or d < best:
+                    best, bj = d, j
+            if best is not None and best < atol_px:
+                used.add(bj)
+                matched += 1
+                b = rh[bj]
+                assert abs(a["score"] - b["score"]) < atol_score
+                np.testing.assert_allclose(a["kps"], b["kps"], atol=atol_px)
+        assert matched >= max(len(rf), len(rh)) - max_unmatched, \
+            (matched, len(rf), len(rh))
+
+    def test_single_stream_parity(self):
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.inference.detector import Detector
+
+        cfg = preset("centerpose", input_h=64, input_w=64, K=8,
+                     vis_thresh=0.0, compute_dtype="float32")
+        det = Detector(cfg)
+        rng = np.random.RandomState(5)
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        out_f = det.run(img)
+        det.force_host_warp = True
+        out_h = det.run(img)
+        det.force_host_warp = False
+        assert len(out_f["results"]) > 0
+        self._compare(out_f, out_h)
+
+    def test_tracking_sequence_parity(self):
+        """3-frame tracking sequence: frame 0 is host-warped in both paths
+        (pre_images must exist first), frames 1-2 exercise the fused tracking
+        program (in-program pre-hm render + pre_images chaining) vs the host
+        path, with live tracks (new_thresh=0 spawns from any detection)."""
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.inference.detector import Detector
+
+        cfg = preset("centerpose_track", input_h=64, input_w=64, K=4,
+                     vis_thresh=0.0, new_thresh=0.0,
+                     compute_dtype="float32")
+        import copy
+
+        det_f = Detector(cfg)
+        det_h = Detector(cfg, det_f.variables)
+        det_h.force_host_warp = True
+        rng = np.random.RandomState(7)
+        frames = [(rng.rand(96, 96, 3) * 255).astype(np.uint8)
+                  for _ in range(3)]
+        for i, img in enumerate(frames):
+            # Sync the host-path detector to the fused detector's pre-frame
+            # state: the comparison is per-STEP parity — without the sync,
+            # sub-pixel warp differences compound through track spawn/aging
+            # and the result lists eventually diverge structurally.
+            det_h.tracker = copy.deepcopy(det_f.tracker)
+            det_h.pre_images = det_f.pre_images
+            out_f = det_f.run(img)
+            out_h = det_h.run(img)
+            self._match_compare(out_f, out_h)
+        assert det_f.tracker is not None and det_f.tracker.active_tracks()
