@@ -611,6 +611,15 @@ def dcn_bwd_supported(x_shape, w_shape, block_rows: int = 0,
     kh, kw, _, co = w_shape
     if (kh, kw) != (3, 3) or w > 128 or c % 8 or co % 8:
         return 0
+    if jax.default_backend() != "cpu":
+        # Same hardware-validated-family gate as the forward kernels
+        # (ops/dcn_onehot.py _tpu_shape_validated): off-family maps hit
+        # Mosaic runtime hangs on this toolchain (round-5 reproducer); the
+        # remat+chunked autodiff fallback is correct on every shape.
+        from centerpose_tpu.ops.dcn_onehot import _tpu_shape_validated
+
+        if not _tpu_shape_validated(h, w, c):
+            return 0
     if itemsize == 4 and jax.default_backend() != "cpu":
         itemsize = 2
     gs = _pick_all(h, w, c, co, itemsize, block_rows)

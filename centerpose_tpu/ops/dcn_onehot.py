@@ -440,12 +440,32 @@ def _lane_idx(g: int, w: int) -> np.ndarray:
     ]).astype(np.float32)
 
 
+# Feature-map families the Pallas kernels are VALIDATED on for this chip's
+# Mosaic toolchain: the 512²-input DLA pyramid (square maps, h·c = 8192).
+# Round-5 finding: the grouped kernel COMPILES but HANGS AT RUNTIME (device
+# wedge, needs a claim-expiry reset) on the 256²-input family — reproduced at
+# (h=w=64, c=64, nr=2) and (h=w=32, c=128, nr=4) in BOTH bf16 and f32, while
+# (64, c=128) and the whole 512² family run fine; no c/w inequality separates
+# the two sets, so the gate is the exact validated family. Off-family maps on
+# a real TPU take the exact-gather path (correct on every shape; pure XLA).
+# CPU interpret mode is unaffected (python-loop semantics can't wedge).
+_TPU_VALIDATED_HC = frozenset({(128, 64), (64, 128), (32, 256), (16, 512)})
+
+
+def _tpu_shape_validated(h: int, w: int, c: int) -> bool:
+    return h == w and (h, c) in _TPU_VALIDATED_HC
+
+
 def _dcn_onehot_fwd_impl(x, offset, mask, weight, bias, radius: int,
                          exact: bool = True, block_rows: int = 0,
                          mp_rows: int = 0):
     b, h, w, c = x.shape
     kh, kw, _, co = weight.shape
     assert (kh, kw) == (3, 3), "one-hot kernel supports 3x3 s1 p1 d1 only"
+    if (jax.default_backend() != "cpu"
+            and not _tpu_shape_validated(h, w, c)):
+        return dcn_v2(x, offset, mask, weight, bias, stride=1, padding=1,
+                      dilation=1)
     if w > 128 or 2 * h * c * w * x.dtype.itemsize > 12 * 1024 * 1024:
         # Wide/tall maps (keep-res / fix_short inputs beyond ~512) don't fit
         # the whole-map-resident selector design (K = W and the feature map
