@@ -21,8 +21,45 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from centerpose_tpu.config import CenterPoseConfig
+from centerpose_tpu.config import DATA_MEAN, DATA_STD, CenterPoseConfig
 from centerpose_tpu.training.losses import CenterPoseLossConfig, centerpose_loss
+
+
+def decode_wire(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Undo the loader's compact wire encoding ON DEVICE (ObjectPoseDataset
+    compact_wire=True): uint8 images -> mean/std-normalized f32, uint8 [0,1]
+    heatmaps -> f32/255. A no-op on f32 batches — the dtype checks are
+    trace-time, so the f32 path compiles to an identity."""
+    out = dict(batch)
+    mean = jnp.asarray(DATA_MEAN, jnp.float32)
+    std = jnp.asarray(DATA_STD, jnp.float32)
+    for k in ("input", "pre_img"):
+        v = out.get(k)
+        if v is not None and v.dtype == jnp.uint8:
+            out[k] = (v.astype(jnp.float32) / 255.0 - mean) / std
+    for k in ("hm", "hm_hp", "pre_hm", "pre_hm_hp"):
+        v = out.get(k)
+        if v is not None and v.dtype == jnp.uint8:
+            out[k] = v.astype(jnp.float32) / 255.0
+    return out
+
+
+def decode_wire_np(batch):
+    """Host-side twin of `decode_wire` (numpy) for debug renderers."""
+    import numpy as np
+
+    out = dict(batch)
+    mean = np.array(DATA_MEAN, np.float32)
+    std = np.array(DATA_STD, np.float32)
+    for k in ("input", "pre_img"):
+        v = out.get(k)
+        if v is not None and np.asarray(v).dtype == np.uint8:
+            out[k] = (np.asarray(v, np.float32) / 255.0 - mean) / std
+    for k in ("hm", "hm_hp", "pre_hm", "pre_hm_hp"):
+        v = out.get(k)
+        if v is not None and np.asarray(v).dtype == np.uint8:
+            out[k] = np.asarray(v, np.float32) / 255.0
+    return out
 
 
 class TrainState(struct.PyTreeNode):
@@ -103,6 +140,8 @@ def make_train_step(cfg: CenterPoseConfig, model, tx, mesh: Optional[Mesh] = Non
     loss_cfg = loss_config_from(cfg)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = decode_wire(batch)
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             kwargs = {}
@@ -155,6 +194,7 @@ def make_eval_step(cfg: CenterPoseConfig, model):
 
     @jax.jit
     def eval_fn(state: TrainState, batch):
+        batch = decode_wire(batch)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         kwargs = {}
         if cfg.tracking_task:

@@ -289,3 +289,66 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestCompactWire:
+    def test_wire_roundtrip_matches_f32(self, tmp_path):
+        """compact_wire ships uint8 images + uint8 [0,1] heatmaps; after the
+        device-side decode the batch must match the f32 pipeline to wire
+        quantization (1/255 on [0,1] quantities, ~0.005 after mean/std)."""
+        import json as _json
+
+        from PIL import Image
+
+        from centerpose_tpu.config import preset
+        from centerpose_tpu.data.dataset import ObjectPoseDataset
+        from centerpose_tpu.training.trainer import decode_wire, decode_wire_np
+
+        root = tmp_path / "video_0"
+        root.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "00000.png")
+        kps9 = [[64, 48]] + [
+            [64 + dx, 48 + dy] for dx in (-20, 20) for dy in (-15, 15)
+        ] * 2
+        ann = {
+            "camera_data": {
+                "width": 128, "height": 96,
+                "intrinsics": {"fx": 120.0, "fy": 120.0,
+                               "cx": 64.0, "cy": 48.0},
+            },
+            "objects": [{
+                "name": "shoe_0", "location": [0.0, 0.0, 1.0],
+                "quaternion_xyzw": [0, 0, 0, 1],
+                "projected_cuboid": kps9[:9],
+                "scale": [0.1, 0.1, 0.25],
+                "keypoints_3d": np.zeros((9, 3)).tolist(),
+            }],
+        }
+        with open(root / "00000.json", "w") as f:
+            _json.dump(ann, f)
+
+        cfg = preset("centerpose", input_h=64, input_w=64)
+        # val split: no random augmentation -> identical geometry both runs
+        ds_f32 = ObjectPoseDataset(str(tmp_path), cfg, split="val")
+        ds_u8 = ObjectPoseDataset(str(tmp_path), cfg, split="val",
+                                  compact_wire=True)
+        a = ds_f32[0]
+        b = ds_u8[0]
+        assert b["input"].dtype == np.uint8
+        assert b["hm"].dtype == np.uint8 and b["hm_hp"].dtype == np.uint8
+        dec_np = decode_wire_np(b)
+        np.testing.assert_allclose(dec_np["input"], a["input"], atol=0.01)
+        np.testing.assert_allclose(dec_np["hm"], a["hm"], atol=1 / 254.0)
+        # GT peaks must stay EXACTLY 1.0 (focal-loss pos mask is gt == 1)
+        assert dec_np["hm"].max() == 1.0 == a["hm"].max()
+        # device twin agrees with the numpy twin
+        import jax.numpy as jnp
+
+        dec_dev = decode_wire({k: jnp.asarray(v) for k, v in b.items()
+                               if k != "meta"})
+        np.testing.assert_allclose(
+            np.asarray(dec_dev["hm"]), dec_np["hm"], atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(dec_dev["input"]), dec_np["input"], atol=1e-6)

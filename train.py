@@ -88,6 +88,13 @@ def parse_args():
              "height-relative",
     )
     p.add_argument(
+        "--wire", choices=("compact", "f32"), default="compact",
+        help="loader->device wire format: compact ships uint8 images + uint8 "
+             "[0,1] heatmaps and normalizes on device (~4x smaller per-step "
+             "payload; decisive over a remote-tunnel device link), f32 ships "
+             "the normalized tensors",
+    )
+    p.add_argument(
         "--new_data_augmentation", action="store_true",
         help="extra raw-image degradations before the affine warp: motion "
              "blur / downscale / gaussian noise (dataset_combined.py:307-318)",
@@ -145,11 +152,14 @@ def main():
     exp_dir = os.path.join("exp", cfg.arch, args.exp_id)
     logger = Logger(exp_dir, cfg)
 
+    compact = args.wire == "compact"
     train_ds = ObjectPoseDataset(
         args.data_dir, cfg, split="train",
         new_data_aug=args.new_data_augmentation,
+        compact_wire=compact,
     )
-    val_ds = ObjectPoseDataset(args.val_dir or args.data_dir, cfg, split="val")
+    val_ds = ObjectPoseDataset(args.val_dir or args.data_dir, cfg, split="val",
+                               compact_wire=compact)
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
     logger.write(f"train {len(train_ds)} samples, {steps_per_epoch} steps/epoch")
 
@@ -187,6 +197,9 @@ def main():
 
         @jax.jit
         def debug_fwd(variables, batch):
+            from centerpose_tpu.training.trainer import decode_wire
+
+            batch = decode_wire(batch)
             kwargs = {}
             if cfg.tracking_task:
                 kwargs = dict(
@@ -206,7 +219,9 @@ def main():
             if debug_fwd is not None and n_steps == 0:
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
                 outputs = debug_fwd(variables, batch)
-                imgs = render_train_debug(batch, outputs, cfg)
+                from centerpose_tpu.training.trainer import decode_wire_np
+
+                imgs = render_train_debug(decode_wire_np(batch), outputs, cfg)
                 save_train_debug(imgs, os.path.join(exp_dir, "debug"), f"e{epoch}_")
                 for name_, img_ in imgs.items():
                     logger.image(epoch, f"debug/{name_}", img_)
@@ -214,6 +229,7 @@ def main():
             batch = shard_batch(mesh, batch)
             state, stats = step_fn(state, batch)
             n_steps += 1
+            stats = jax.device_get(stats)  # ONE fetch, not one RTT per scalar
             for k, v in stats.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
         agg = {k: v / max(n_steps, 1) for k, v in agg.items()}
