@@ -109,4 +109,7 @@ class TestTrainCLI:
         assert os.path.isdir(os.path.join(exp, "ckpt"))
         import shutil
 
-        shutil.rmtree("/root/repo/exp", ignore_errors=True)
+        # Scope the cleanup to THIS test's exp_id — a bare rmtree of exp/
+        # deletes live training runs and datasets sharing the repo
+        # (it killed a 1.5h chip run in round 5).
+        shutil.rmtree(exp, ignore_errors=True)
