@@ -58,3 +58,50 @@ def latest_step(directory: str) -> Optional[int]:
     step = mgr.latest_step()
     mgr.close()
     return step
+
+
+def load_partial(directory: str, params: Any, batch_stats: Any,
+                 step: Optional[int] = None):
+    """Reference `load_model` partial-init parity (model.py:34-87): copy every
+    param/batch-stat leaf whose tree path exists in the checkpoint with a
+    matching shape; skip the rest with a warning. This is how
+    main_CenterPoseTrack initializes the Track model from CenterPose weights
+    (shared DLA base + neck transfer; the twin stems / tracking heads stay at
+    init). Returns (params, batch_stats, n_loaded, n_skipped)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    mgr = _manager(directory)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {directory}")
+    restored = mgr.restore(step)
+    mgr.close()
+    src_state = restored["state"] if "state" in restored else restored
+    srcs = {"params": src_state.get("params", {}),
+            "batch_stats": src_state.get("batch_stats", {})}
+
+    stats = {"loaded": 0, "skipped": 0}
+
+    def merge(dst, src):
+        if not isinstance(dst, dict):
+            return dst
+        out = {}
+        for k, v in dst.items():
+            sv = src.get(k) if isinstance(src, dict) else None
+            if isinstance(v, dict):
+                out[k] = merge(v, sv if isinstance(sv, dict) else {})
+            elif sv is not None and np.shape(sv) == np.shape(v):
+                out[k] = jnp.asarray(sv, jnp.asarray(v).dtype)
+                stats["loaded"] += 1
+            else:
+                if sv is not None:
+                    print(f"load_partial: shape mismatch at {k}: "
+                          f"{np.shape(sv)} vs {np.shape(v)}, keeping init")
+                stats["skipped"] += 1
+                out[k] = v
+        return out
+
+    params = merge(params, srcs["params"])
+    batch_stats = merge(batch_stats, srcs["batch_stats"])
+    return params, batch_stats, stats["loaded"], stats["skipped"]

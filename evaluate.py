@@ -29,6 +29,11 @@ def parse_args():
                    help="write the machine-readable AP report (per-family "
                         "report-point AP + full 21-threshold curves) as JSON")
     p.add_argument("--input_res", type=int, default=512)
+    p.add_argument("--vis_thresh", type=float, default=0.0,
+                   help="override the detection confidence threshold "
+                        "(eval_opts.py --eval_confidence parity); tracking "
+                        "eval also applies it to the track-spawn threshold. "
+                        "0 = preset default (0.3)")
     p.add_argument(
         "--dcn_impl", default="gather",
         choices=("gather", "onehot", "onehot_exact"),
@@ -354,6 +359,9 @@ def main():
         "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"
     )
     overrides = {}
+    if args.vis_thresh > 0:
+        overrides["vis_thresh"] = args.vis_thresh
+        overrides["new_thresh"] = args.vis_thresh
     if args.eval_empty_pre_hm:
         overrides["empty_pre_hm"] = True
     if args.no_kalman:

@@ -36,6 +36,14 @@ def parse_args():
     p.add_argument("--val_intervals", type=int, default=5)
     p.add_argument("--save_intervals", type=int, default=10)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--load_model", default="",
+        help="initialize params from this checkpoint dir with partial "
+             "name+shape matching (model.py:34-87 load_model parity — e.g. "
+             "Track training initialized from a trained CenterPose model, "
+             "main_CenterPoseTrack.py); unlike --resume the optimizer and "
+             "step start fresh",
+    )
     p.add_argument("--seed", type=int, default=317)
     p.add_argument("--num_devices", type=int, default=0, help="0 = all")
     p.add_argument("--input_res", type=int, default=512)
@@ -169,6 +177,17 @@ def main():
     )
     start_epoch = 0
     ckpt_dir = os.path.join(exp_dir, "ckpt")
+    if args.load_model and not args.resume:
+        from centerpose_tpu.utils.checkpoint import load_partial
+
+        p_, bs_, n_ok, n_skip = load_partial(
+            args.load_model, state.params, state.batch_stats
+        )
+        state = state.replace(params=p_, batch_stats=bs_)
+        logger.write(
+            f"partial-init from {args.load_model}: {n_ok} tensors loaded, "
+            f"{n_skip} kept at init"
+        )
     if args.resume:
         state, step = load_checkpoint(ckpt_dir, state)
         start_epoch = step // steps_per_epoch
