@@ -71,6 +71,12 @@ def parse_args():
         help="checkpoint for the CenterPose-initialization image model",
     )
     p.add_argument("--no_kalman", action="store_true")
+    p.add_argument(
+        "--video_eval", action="store_true",
+        help="force video-sequence eval semantics (per-video reset + "
+             "consistency over raw detections) for a plain image model — "
+             "the null config of the KF-baseline ablation",
+    )
     p.add_argument("--no_scale_pool", action="store_true")
     p.add_argument("--refined_kalman", action="store_true")
     p.add_argument("--tfrecords", default="",
@@ -354,7 +360,8 @@ def main():
     # Video-sequence evaluation semantics (per-video tracker reset +
     # consistency scoring) apply to the Track pipeline AND the CenterPose+KF
     # baseline (tracker_baseline.py via --refined_kalman).
-    args.video_eval = args.tracking or args.refined_kalman
+    args.video_eval = (args.tracking or args.refined_kalman
+                       or args.video_eval)
     name = "centerpose_track" if args.tracking else (
         "centerpose" if args.arch.startswith("dlav1") else "centerpose_dla"
     )

@@ -67,7 +67,10 @@ def main():
     if args.baseline:
         configs = {
             "full": ["--refined_kalman"],
-            "no_kalman": [],
+            # Raw detections under the SAME video-eval semantics (per-video
+            # reset + consistency) — without --video_eval the null leg runs
+            # image-mode and reports no consistency.
+            "no_kalman": ["--video_eval"],
         }
     else:
         configs = {
